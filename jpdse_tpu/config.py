@@ -1,0 +1,461 @@
+"""Typed configuration layer.
+
+Replaces the reference's three-way argparse composition (base flags at
+ctu/parsers/base_parser.py:33-130, ~50 model flags at
+ctu/models/pix2pixHD_model.py:22-102, dataset-injected defaults at
+ctu/data/cityscapes_dataset.py:16-30 etc.) with nested dataclasses, a JSON
+round-trip replacing opt.pkl (base_parser.py:163-176), and a train->val/test
+derivation replacing ``trainopt2testopt`` (ctu/parsers/__init__.py:4-34).
+
+The knob surface is kept 1:1 with the reference (same names, same defaults,
+same semantics) so that every reference training recipe — e.g.
+scripts/pix2pixHD_bpg_train.sh — maps directly onto this config.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+def _tuple3(x) -> Tuple[float, float, float]:
+    if isinstance(x, str):
+        parts = [float(p) for p in x.split(",")]
+    else:
+        parts = [float(p) for p in x]
+    if len(parts) == 1:
+        parts = parts * 3
+    assert len(parts) == 3, f"expected 3 values, got {parts}"
+    return tuple(parts)  # type: ignore[return-value]
+
+
+@dataclass
+class PreprocessConfig:
+    """Resize/crop/flip pipeline knobs (base_parser.py:66-92)."""
+
+    preprocess_mode: str = "scale_width_and_crop"  # see choices in reference
+    load_size: int = 1024
+    crop_size: int = 512
+    aspect_ratio: float = 2.0
+
+    VALID_MODES = (
+        "resize_and_crop",
+        "crop",
+        "scale_width",
+        "scale_width_and_crop",
+        "scale_shortside",
+        "scale_shortside_and_crop",
+        "fixed",
+        "none",
+    )
+
+    def __post_init__(self):
+        if self.preprocess_mode not in self.VALID_MODES:
+            raise ValueError(f"invalid preprocess_mode {self.preprocess_mode}")
+
+
+@dataclass
+class DataConfig:
+    """Data layer knobs (base_parser.py:37-59, 66-92)."""
+
+    root_dir: str = ""
+    dataset: str = "cityscapes"  # ade20k | cityscapes | coco | custom | clic
+    num_workers: int = 4
+    max_dataset_size: int = 2**62
+    num_labels: int = 182
+    contain_dontcare_label: bool = False
+    num_out_channels: int = 3
+    no_flip: bool = False
+    normalize_mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    normalize_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    use_gt_semantics: bool = True
+    no_pairing_check: bool = False
+    batch_size: int = 1
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    val_preprocess: PreprocessConfig = field(
+        default_factory=lambda: PreprocessConfig("none", 1024, 512, 2.0)
+    )
+    test_preprocess: PreprocessConfig = field(
+        default_factory=lambda: PreprocessConfig("none", 1024, 512, 2.0)
+    )
+    # test-time noise injection (base_parser.py:95-99)
+    add_noise: bool = False
+    noise_distribution: str = "normal_poisson"
+    noise_std: float = 0.05
+    noise_mean: float = 0.0
+    poisson_lambda: float = 0.01
+
+    def __post_init__(self):
+        self.normalize_mean = _tuple3(self.normalize_mean)
+        self.normalize_std = _tuple3(self.normalize_std)
+
+    @property
+    def semantic_nc(self) -> int:
+        """Channels of the one-hot label map (pix2pixHD_model.py:379-380)."""
+        return self.num_labels + 1 if self.contain_dontcare_label else self.num_labels
+
+
+@dataclass
+class ModelConfig:
+    """Architecture knobs (pix2pixHD_model.py:24-101)."""
+
+    model: str = "pix2pixHD"
+    # discriminator
+    num_D: int = 2
+    n_layers_D: int = 3
+    ndf: int = 64
+    no_lsgan: bool = False
+    pool_size: int = 0
+    # semantics plumbing
+    no_instance: bool = False
+    no_label: bool = False
+    sem_masking: bool = False
+    binary_mask: bool = False
+    netE_groups: int = 1
+    inst_wise_pool: bool = False
+    max_instance_id: int = 40960  # static upper bound for segment ops (TPU static shapes)
+    norm: str = "instance"  # instance | batch | identity
+    use_dropout: bool = False
+    # I/O channels
+    input_nc: int = 3
+    zero_sem: bool = False
+    zero_ins: bool = False
+    zero_vis: bool = False
+    # generator
+    netG: str = "global"  # global | local
+    ngf: int = 64
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_blocks_local: int = 3
+    n_local_enhancers: int = 1
+    niter_fix_global: int = 0
+    # visual-feature encoder
+    no_feat_encoding: bool = False
+    no_feat: bool = False
+    feat_num: int = 3
+    n_downsample_E: int = 4
+    nef: int = 64
+    use_netE_output: bool = False
+    # label encoder
+    no_label_encoding: bool = False
+    label_encoder_out_channels: int = 36
+    n_downsample_E4label: int = 4
+    ne4lf: int = 64
+    # binarizers
+    no_encoder_binarization: bool = False
+    encoder_binarizer_out_channels: int = 128
+    no_label_encoder_binarization: bool = False
+    label_encoder_binarizer_out_channels: int = 128
+    no_generator_binarization: bool = False
+    bin_generator_before_res: bool = False
+    generator_binarizer_out_channels: int = 128
+    # precision: compute dtype for the nets ("float32" | "bfloat16")
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class LossConfig:
+    """Objective knobs (pix2pixHD_model.py:40-50, base_parser.py:127)."""
+
+    lambda_feat: float = 10.0
+    lambda_distortion: float = 10.0
+    anneal_lambda: bool = False
+    anneal_interval: int = 5000
+    anneal_factor: float = 5.0
+    match_raw_feat: bool = False
+    no_gan_feat_loss: bool = False
+    no_vgg_loss: bool = False
+    no_distortion_loss: bool = False
+    no_g_gan_loss: bool = False
+    no_d_gan_loss: bool = False
+    distortion_loss_fn: str = "l1"  # l1 | mse
+    vgg_weights_path: Optional[str] = None  # converted VGG19 weights (.npz)
+
+
+@dataclass
+class OptimConfig:
+    """Training/optimization knobs (base_parser.py:110-126)."""
+
+    num_epochs: int = 100
+    val_interval: int = 1
+    beta1: float = 0.5
+    beta2: float = 0.999
+    lr: float = 0.0002
+    schedule_lr: bool = False
+    lr_decay_factor: float = 0.1
+    lr_decay_patience: int = 5
+    seed: Optional[int] = None
+    fp16: bool = False  # reference apex AMP analog; here: bf16 compute
+
+
+@dataclass
+class CodecConfig:
+    """External base-codec bridge knobs (pix2pixHD_model.py:57-59)."""
+
+    use_compressed: bool = False
+    ext: str = "jpg"  # jpg | j2k | bpg | webp
+    quality: Tuple[int, ...] = (100,)
+
+    def __post_init__(self):
+        if isinstance(self.quality, str):
+            self.quality = tuple(int(q) for q in self.quality.split(","))
+        elif isinstance(self.quality, int):
+            self.quality = (self.quality,)
+        else:
+            self.quality = tuple(int(q) for q in self.quality)
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh knobs — the reference has no distributed support
+    (base_parser.py:236 raises on multi-GPU); here DP + spatial sharding are
+    first-class."""
+
+    data_axis: int = -1  # -1: use all remaining devices on the data axis
+    spatial_axis: int = 1  # H-axis sharding factor (halo-exchange convs)
+
+
+@dataclass
+class Config:
+    """Top-level run configuration."""
+
+    mode: str = "train"  # train | val | test
+    is_train: bool = True
+    save_dir: str = "./checkpoints"
+    checkpoints_dir: Optional[str] = None
+    always_save: bool = False
+    load_model: bool = False
+    do_not_get_codes: bool = False
+    display_winsize: int = 512
+    tf_log: bool = False  # kept for CLI parity; logging is always-on here
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    codec: CodecConfig = field(default_factory=CodecConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def validate(self):
+        """Model-construction-time consistency checks. Not run at construction
+        (the reference's *defaults* violate them too; it checks at
+        Pix2PixHDModel.__init__, pix2pixHD_model.py:107-108)."""
+        m, c = self.model, self.codec
+        # binarize encoders XOR generator (pix2pixHD_model.py:107-108)
+        enc_bin = (not m.no_feat_encoding and not m.no_encoder_binarization) or (
+            not m.no_label_encoding and not m.no_label_encoder_binarization
+        )
+        if enc_bin and not m.no_generator_binarization:
+            raise ValueError(
+                "Binarize the encoders *or* the generator, not both "
+                "(reference pix2pixHD_model.py:107-108)."
+            )
+        if m.sem_masking and (m.no_feat or m.no_label):
+            raise ValueError("sem_masking requires features and labels (pix2pixHD_model.py:115)")
+        if len(c.quality) > 1 and not m.sem_masking:
+            raise ValueError("per-channel quality list requires sem_masking (pix2pixHD_model.py:342-343)")
+
+    # ------------------------------------------------------------------
+    # channel arithmetic (pix2pixHD_model.py:117-183)
+    # ------------------------------------------------------------------
+    @property
+    def semantics_nc(self) -> int:
+        m, d = self.model, self.data
+        if m.no_label:
+            return 0
+        if m.no_label_encoding:
+            return d.semantic_nc
+        return m.label_encoder_out_channels
+
+    @property
+    def netG_input_nc(self) -> int:
+        m, d = self.model, self.data
+        nc = self.semantics_nc
+        if m.no_label_encoding and not m.no_instance:
+            nc += 1  # edge map rides along un-encoded (pix2pixHD_model.py:129-133)
+        if not m.no_feat:
+            nc += m.input_nc if m.no_feat_encoding else m.feat_num
+        if m.sem_masking:
+            if not m.no_feat_encoding:
+                nc = m.feat_num
+            else:
+                n_sem = d.num_labels + 1 if not m.no_instance else d.num_labels
+                nc = m.input_nc * n_sem
+        return nc
+
+    @property
+    def netD_input_nc(self) -> int:
+        m = self.model
+        nc = self.semantics_nc + self.data.num_out_channels
+        if not m.no_instance and m.no_label_encoding:
+            nc += 1
+        return nc
+
+    @property
+    def netE_input_nc(self) -> int:
+        m, d = self.model, self.data
+        if m.sem_masking:
+            n_sem = d.num_labels + 1 if not m.no_instance else d.num_labels
+            return n_sem * m.input_nc
+        return m.input_nc
+
+    @property
+    def netE4label_input_nc(self) -> int:
+        m, d = self.model, self.data
+        return d.semantic_nc + (0 if m.no_instance else 1)
+
+    @property
+    def use_netE(self) -> bool:
+        m = self.model
+        return (not m.no_feat) and (not m.no_feat_encoding)
+
+    @property
+    def use_netE4label(self) -> bool:
+        m = self.model
+        return (not m.no_label) and (not m.no_label_encoding) and (not m.sem_masking)
+
+    # ------------------------------------------------------------------
+    # serialization (replaces opt.pkl/opt.txt, base_parser.py:163-205)
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent, sort_keys=True)
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _dataclass_from_dict(cls, d: dict):
+    """Recursively build nested dataclasses, tolerating unknown keys
+    (mirrors the reference's graceful opt-file reload, base_parser.py:192-200)."""
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k not in fields:
+            continue  # forward/backward compat: ignore unknown keys
+        f = fields[k]
+        ftype = f.type if isinstance(f.type, type) else None
+        default = f.default_factory() if f.default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        target = ftype or type(default)
+        if dataclasses.is_dataclass(target) and isinstance(v, dict):
+            kwargs[k] = _dataclass_from_dict(target, v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+# nested-dataclass types keyed by field name, for from_dict reconstruction
+_NESTED = {
+    "data": DataConfig,
+    "model": ModelConfig,
+    "loss": LossConfig,
+    "optim": OptimConfig,
+    "codec": CodecConfig,
+    "parallel": ParallelConfig,
+    "preprocess": PreprocessConfig,
+    "val_preprocess": PreprocessConfig,
+    "test_preprocess": PreprocessConfig,
+}
+
+
+def derive_eval_config(cfg: Config, mode: str = "val") -> Config:
+    """Train config -> val/test config (replaces trainopt2testopt,
+    ctu/parsers/__init__.py:4-34): swap in the per-mode preprocessing block and
+    force batch_size=1."""
+    if mode not in ("val", "test"):
+        raise ValueError(f'mode must be "val" or "test", got {mode}')
+    new = copy.deepcopy(cfg)
+    new.mode = mode
+    new.is_train = False
+    src = cfg.data.val_preprocess if mode == "val" else cfg.data.test_preprocess
+    new.data.preprocess = copy.deepcopy(src)
+    new.data.batch_size = 1
+    return new
+
+
+# ----------------------------------------------------------------------
+# dataset defaults (the reference lets each dataset inject parser defaults;
+# here each dataset name maps to a dict of config overrides)
+# ----------------------------------------------------------------------
+DATASET_DEFAULTS = {
+    # cityscapes_dataset.py:16-30
+    "cityscapes": {
+        "data.preprocess.preprocess_mode": "fixed",
+        "data.preprocess.load_size": 512,
+        "data.preprocess.crop_size": 512,
+        "data.preprocess.aspect_ratio": 2.0,
+        "data.num_labels": 35,
+    },
+    # ade20k_dataset.py:21-29
+    "ade20k": {
+        "data.preprocess.preprocess_mode": "fixed",
+        "data.preprocess.load_size": 512,
+        "data.preprocess.crop_size": 512,
+        "data.num_labels": 150,
+        "data.contain_dontcare_label": True,
+    },
+    # clic_dataset.py:15-21
+    "clic": {
+        "data.preprocess.preprocess_mode": "none",
+        "data.num_labels": 54,
+    },
+    # custom_dataset.py:12-20 (image-only folders, no semantics)
+    "custom": {
+        "data.preprocess.preprocess_mode": "fixed",
+        "data.preprocess.load_size": 512,
+        "data.preprocess.crop_size": 512,
+        "data.preprocess.aspect_ratio": 2.0,
+        "data.normalize_mean": (0.0, 0.0, 0.0),
+        "data.normalize_std": (1.0, 1.0, 1.0),
+        "model.no_label": True,
+        "model.no_instance": True,
+    },
+}
+
+
+def set_by_path(cfg: Config, dotted: str, value: Any):
+    """Set a nested config field by dotted path, e.g. 'data.num_labels'."""
+    obj = cfg
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    if not hasattr(obj, parts[-1]):
+        raise AttributeError(f"no config field {dotted}")
+    setattr(obj, parts[-1], value)
+
+
+def get_by_path(cfg: Config, dotted: str) -> Any:
+    obj = cfg
+    for p in dotted.split("."):
+        obj = getattr(obj, p)
+    return obj
+
+
+def apply_dataset_defaults(cfg: Config, explicitly_set: Optional[List[str]] = None) -> Config:
+    """Apply per-dataset default overrides, skipping fields the user set
+    explicitly (mirrors parser.set_defaults semantics)."""
+    explicitly_set = set(explicitly_set or [])
+    for dotted, value in DATASET_DEFAULTS.get(cfg.data.dataset, {}).items():
+        if dotted not in explicitly_set:
+            set_by_path(cfg, dotted, value)
+    return cfg
