@@ -141,17 +141,37 @@ class ConvTranspose(nn.Module):
         return y
 
 
+@functools.lru_cache(maxsize=64)
+def _pool_valid_counts(h: int, w: int) -> "np.ndarray":
+    """Valid-element counts of a 3x3/stride-2/pad-1 window over an (h, w)
+    grid, computed at trace time (shapes are static under jit)."""
+    import numpy as np
+
+    oh, ow = (h + 2 - 3) // 2 + 1, (w + 2 - 3) // 2 + 1
+    ch = np.zeros(oh, np.float32)
+    cw = np.zeros(ow, np.float32)
+    for i in range(oh):
+        lo, hi = 2 * i - 1, 2 * i + 2
+        ch[i] = min(hi, h) - max(lo, 0)
+    for j in range(ow):
+        lo, hi = 2 * j - 1, 2 * j + 2
+        cw[j] = min(hi, w) - max(lo, 0)
+    return np.outer(ch, cw)
+
+
 def avg_pool_3s2(x: jax.Array) -> jax.Array:
     """AvgPool2d(3, stride=2, padding=1, count_include_pad=False)
-    (networks.py:180,387)."""
-    sums = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0))
+    (networks.py:180,387). Implemented as a depthwise ones-conv divided by
+    the static valid-count map — differentiable and XLA-fusable (a plain
+    reduce_window with a python `add` fails reverse-mode autodiff)."""
+    c = x.shape[-1]
+    kernel = jnp.ones((3, 3, 1, c), x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    sums = jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn, feature_group_count=c
     )
-    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
-    counts = jax.lax.reduce_window(
-        ones, jnp.array(0, x.dtype), jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0))
-    )
-    return sums / counts
+    counts = jnp.asarray(_pool_valid_counts(x.shape[1], x.shape[2]), x.dtype)
+    return sums / counts[None, :, :, None]
 
 
 def leaky_relu(x, negative_slope=0.2):

@@ -1,0 +1,232 @@
+"""Jitted GAN training / eval steps.
+
+Fuses the reference's per-step work (Pix2PixHDTrainer.step,
+pix2pixHD_trainer.py:42-85 + Pix2PixHDModel.get_train_loss,
+pix2pixHD_model.py:709-771) into one compiled function: generator forward,
+three discriminator passes, two VGG passes, both losses, both Adam updates.
+
+Update-ordering parity: the reference builds BOTH loss graphs from the
+pre-update parameters, then steps G, then steps D — so the D update sees the
+pre-update G's fake and its own pre-update weights. Here both gradients are
+computed from `state.params_*` before either update is applied, which matches
+exactly. The reference's `.detach()` calls (pix2pixHD_model.py:455, 753)
+become `stop_gradient`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jpdse_tpu.config import Config
+from jpdse_tpu.models.codec import SemanticCodec, prepare_inputs
+from jpdse_tpu.ops.metrics import denormalize_to_uint8
+from jpdse_tpu.train.losses import (
+    distortion_loss,
+    feature_matching_loss,
+    gan_loss,
+    vgg_loss,
+)
+from jpdse_tpu.train.state import GANTrainState, make_optimizers
+
+
+def _inputs_from_batch(cfg: Config, batch: Dict[str, jax.Array]):
+    return prepare_inputs(
+        cfg,
+        batch.get("label"),
+        batch.get("instance"),
+        batch["image"],
+        batch.get("compressed"),
+    )
+
+
+def _d_concat(input_label: Optional[jax.Array], image: jax.Array) -> jax.Array:
+    if input_label is None:
+        return image
+    return jnp.concatenate([input_label, image.astype(input_label.dtype)], axis=-1)
+
+
+def make_train_step(
+    cfg: Config,
+    codec: SemanticCodec,
+    disc,
+    vgg_apply: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``vgg_apply(x)->features`` closes over frozen VGG params (the reference's
+    criterionVGG; networks.py:124-139). Pass None when loss.no_vgg_loss.
+    """
+    L = cfg.loss
+    opt_g, opt_d = make_optimizers(cfg)
+    use_lsgan = not cfg.model.no_lsgan
+
+    def g_loss_fn(params_g, params_d, inputs, rng):
+        fake, input_label = codec.apply(
+            {"params": params_g},
+            inputs,
+            train=True,
+            deterministic=False,
+            rngs={"binarize": rng, "dropout": jax.random.fold_in(rng, 1)},
+            method=SemanticCodec.decode,
+        )
+        real = inputs["real_image"]
+        keep = L.match_raw_feat
+        # D(fake) WITH grad into G (pix2pixHD_model.py:733)
+        pred_fake = disc.apply({"params": params_d}, _d_concat(input_label, fake), keep)
+        # D(real) for feature-matching targets (detached in the loss)
+        pred_real = disc.apply({"params": params_d}, _d_concat(input_label, real), keep)
+
+        zero = jnp.asarray(0.0, jnp.float32)
+        l_g_gan = gan_loss(pred_fake, True, use_lsgan) if not L.no_g_gan_loss else zero
+        l_feat = (
+            feature_matching_loss(pred_fake, pred_real, cfg.model.num_D)
+            if not L.no_gan_feat_loss
+            else zero
+        )
+        l_vgg = (
+            vgg_loss(vgg_apply, fake, real)
+            if (not L.no_vgg_loss and vgg_apply is not None)
+            else zero
+        )
+        l_dist = (
+            distortion_loss(fake, real, L.distortion_loss_fn)
+            if not L.no_distortion_loss
+            else zero
+        )
+        return l_g_gan, l_feat, l_vgg, l_dist, fake, input_label
+
+    def total_g(params_g, params_d, inputs, rng, lambda_w):
+        l_g_gan, l_feat, l_vgg, l_dist, fake, input_label = g_loss_fn(
+            params_g, params_d, inputs, rng
+        )
+        # weighting per pix2pixHD_trainer.py:48-56
+        total = (
+            l_g_gan
+            + l_feat * L.lambda_feat
+            + l_vgg * L.lambda_feat
+            + l_dist * L.lambda_distortion * lambda_w
+        )
+        aux = {
+            "G_GAN": l_g_gan,
+            "G_GAN_Feat": l_feat,
+            "G_VGG": l_vgg,
+            "G_Distortion": l_dist,
+            "fake": fake,
+            "input_label": input_label,
+        }
+        return total, aux
+
+    def d_loss_fn(params_d, inputs, fake, input_label):
+        real = inputs["real_image"]
+        fake_sg = jax.lax.stop_gradient(fake)
+        label_sg = (
+            jax.lax.stop_gradient(input_label) if input_label is not None else None
+        )
+        pred_fake = disc.apply({"params": params_d}, _d_concat(label_sg, fake_sg))
+        pred_real = disc.apply({"params": params_d}, _d_concat(label_sg, real))
+        l_fake = gan_loss(pred_fake, False, use_lsgan)
+        l_real = gan_loss(pred_real, True, use_lsgan)
+        return 0.5 * (l_fake + l_real), (l_real, l_fake)
+
+    def step(state: GANTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        inputs = _inputs_from_batch(cfg, batch)
+        (loss_g, aux), grads_g = jax.value_and_grad(total_g, has_aux=True)(
+            state.params_g,
+            state.params_d,
+            inputs,
+            rng,
+            state.lambda_distortion_weight,
+        )
+        if not L.no_d_gan_loss:
+            (loss_d, (l_real, l_fake)), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d, inputs, aux["fake"], aux["input_label"])
+        else:
+            loss_d = jnp.asarray(0.0, jnp.float32)
+            l_real = l_fake = loss_d
+            grads_d = jax.tree.map(jnp.zeros_like, state.params_d)
+
+        updates_g, new_os_g = opt_g.update(grads_g, state.opt_state_g, state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, updates_g)
+        updates_d, new_os_d = opt_d.update(grads_d, state.opt_state_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, updates_d)
+
+        steps = state.steps_taken + 1
+        lam = state.lambda_distortion_weight
+        if L.anneal_lambda:
+            lam = jnp.where(steps % L.anneal_interval == 0, lam * L.anneal_factor, lam)
+
+        new_state = state.replace(
+            params_g=new_params_g,
+            params_d=new_params_d,
+            opt_state_g=new_os_g,
+            opt_state_d=new_os_d,
+            steps_taken=steps,
+            lambda_distortion_weight=lam,
+        )
+        metrics = {
+            "G_GAN": aux["G_GAN"],
+            "G_GAN_Feat": aux["G_GAN_Feat"],
+            "G_VGG": aux["G_VGG"],
+            "G_Distortion": aux["G_Distortion"],
+            "D_real": l_real,
+            "D_fake": l_fake,
+            "loss_G": loss_g,
+            "loss_D": loss_d,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: Config, codec: SemanticCodec):
+    """get_eval_loss (pix2pixHD_model.py:621-643): reconstruct, denormalize +
+    uint8-quantize both images, distortion between them. The reference bounced
+    GPU->CPU->GPU through tensor2im (:636-639); here the quantization is fused
+    on-device."""
+    mean = cfg.data.normalize_mean
+    std = cfg.data.normalize_std
+    kind = cfg.loss.distortion_loss_fn
+
+    def step(params_g, batch):
+        inputs = _inputs_from_batch(cfg, batch)
+        fake, _ = codec.apply(
+            {"params": params_g}, inputs, method=SemanticCodec.decode
+        )
+        fake_u8 = denormalize_to_uint8(fake, mean, std)
+        real_u8 = denormalize_to_uint8(inputs["real_image"], mean, std)
+        return distortion_loss(fake_u8, real_u8, kind)
+
+    return jax.jit(step)
+
+
+def make_infer_fn(cfg: Config, codec: SemanticCodec):
+    """get_img (pix2pixHD_model.py:463-465): deterministic reconstruction."""
+
+    def infer(params_g, batch):
+        inputs = _inputs_from_batch(cfg, batch)
+        fake, _ = codec.apply(
+            {"params": params_g}, inputs, method=SemanticCodec.decode
+        )
+        return fake
+
+    return jax.jit(infer)
+
+
+def make_codes_fn(cfg: Config, codec: SemanticCodec):
+    """get_code (pix2pixHD_model.py:495-505): deterministic binary codes."""
+
+    def codes(params_g, batch):
+        inputs = _inputs_from_batch(cfg, batch)
+        return codec.apply(
+            {"params": params_g}, inputs, method=SemanticCodec.get_codes
+        )
+
+    return jax.jit(codes)

@@ -1,0 +1,253 @@
+"""Codec-model assembly + train-step tests on tiny shapes (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jpdse_tpu.config import Config, apply_dataset_defaults
+from jpdse_tpu.models import SemanticCodec, build_discriminator, prepare_inputs
+from jpdse_tpu.models.codec import SemanticCodec as SC
+from jpdse_tpu.train.state import create_train_state
+from jpdse_tpu.train.step import (
+    make_codes_fn,
+    make_eval_step,
+    make_infer_fn,
+    make_train_step,
+)
+
+H, W = 32, 64
+
+
+def tiny_cfg(**model_overrides) -> Config:
+    cfg = Config()
+    cfg.data.dataset = "cityscapes"
+    apply_dataset_defaults(cfg)
+    cfg.data.num_labels = 6
+    m = cfg.model
+    m.ngf = m.ndf = m.nef = m.ne4lf = 8
+    m.n_downsample_global = 2
+    m.n_blocks_global = 2
+    m.n_downsample_E = 2
+    m.n_downsample_E4label = 2
+    m.label_encoder_out_channels = 7
+    m.encoder_binarizer_out_channels = 16
+    m.label_encoder_binarizer_out_channels = 16
+    m.generator_binarizer_out_channels = 16
+    m.max_instance_id = 64
+    for k, v in model_overrides.items():
+        setattr(m, k, v)
+    cfg.validate()
+    return cfg
+
+
+def tiny_batch(rng, b=2):
+    return {
+        "label": jnp.asarray(rng.integers(0, 6, (b, H, W)).astype(np.int32)),
+        "instance": jnp.asarray(rng.integers(0, 50, (b, H, W)).astype(np.int32)),
+        "image": jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32)),
+    }
+
+
+def init_codec(cfg, batch):
+    codec = SemanticCodec(cfg)
+    inputs = prepare_inputs(cfg, batch.get("label"), batch.get("instance"), batch["image"])
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "binarize": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = codec.init(rngs, inputs, method=SC.decode)
+    return codec, variables["params"], inputs
+
+
+def test_learned_codec_decode_and_codes(rng):
+    """Fully learned config: binarized label + visual encoders feeding G."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    fake, input_label = codec.apply({"params": params}, inputs, method=SC.decode)
+    assert fake.shape == (2, H, W, 3)
+    assert input_label.shape == (2, H, W, 7)  # encoded labels
+    codes = codec.apply({"params": params}, inputs, method=SC.get_codes)
+    assert len(codes) == 2  # label code + visual code
+    for c in codes:
+        assert c.ndim == 2 and c.shape[0] == 2
+        assert set(np.unique(np.asarray(c))) <= {0.0, 1.0}
+    # spatial code size: H/4 * W/4 * 16 bits
+    assert codes[0].shape[1] == (H // 4) * (W // 4) * 16
+
+
+def test_generator_binarized_codec(rng):
+    """Generator-bottleneck binarization (raw semantics + raw visuals)."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=False,
+        bin_generator_before_res=True,
+    )
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    fake, input_label = codec.apply(
+        {"params": params},
+        inputs,
+        method=SC.decode,
+        rngs={"binarize": jax.random.PRNGKey(3)},
+        deterministic=False,
+    )
+    assert fake.shape == (2, H, W, 3)
+    assert input_label.shape == (2, H, W, 7)  # 6 one-hot + edge
+    codes = codec.apply({"params": params}, inputs, method=SC.get_codes)
+    assert len(codes) == 1
+
+
+def test_flagship_bpg_style_config(rng):
+    """Phase-2 config: raw one-hot + edge + compressed visuals, no binarizers."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.codec.use_compressed = True
+    cfg.codec.ext = "jpg"
+    batch = tiny_batch(rng)
+    batch["compressed"] = batch["image"] + 0.01
+    codec = SemanticCodec(cfg)
+    inputs = prepare_inputs(
+        cfg, batch["label"], batch["instance"], batch["image"], batch["compressed"]
+    )
+    variables = codec.init({"params": jax.random.PRNGKey(0)}, inputs, method=SC.decode)
+    fake, input_label = codec.apply(variables, inputs, method=SC.decode)
+    assert fake.shape == (2, H, W, 3)
+    codes = codec.apply(variables, inputs, method=SC.get_codes)
+    assert codes == []  # nothing binarized in this configuration
+
+
+def test_sem_masking_config(rng):
+    cfg = tiny_cfg(
+        sem_masking=True,
+        no_label_encoding=True,
+        netE_groups=1,
+        no_generator_binarization=True,
+    )
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    assert inputs["masked_img"].shape == (2, H, W, 7 * 3)
+    fake, _ = codec.apply({"params": params}, inputs, method=SC.decode)
+    assert fake.shape == (2, H, W, 3)
+
+
+def test_inst_wise_pool_config(rng):
+    cfg = tiny_cfg(inst_wise_pool=True, no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    fake, _ = codec.apply({"params": params}, inputs, method=SC.decode)
+    assert fake.shape == (2, H, W, 3)
+
+
+def test_train_step_runs_and_updates(rng):
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.loss.no_vgg_loss = True  # keep the tiny test fast
+    batch = tiny_batch(rng)
+    codec, params_g, inputs = init_codec(cfg, batch)
+    disc = build_discriminator(cfg)
+    d_in = jnp.concatenate([inputs["input_label"], batch["image"]], axis=-1)
+    params_d = disc.init(jax.random.PRNGKey(4), d_in)["params"]
+
+    state = create_train_state(cfg, params_g, params_d)
+    step = make_train_step(cfg, codec, disc, vgg_apply=None, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(5))
+
+    assert int(new_state.steps_taken) == 1
+    for k in ("G_GAN", "G_GAN_Feat", "G_Distortion", "D_real", "D_fake"):
+        assert np.isfinite(float(metrics[k])), k
+    # both players' params changed
+    def changed(a, b):
+        return any(
+            not np.allclose(x, y)
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert changed(state.params_g, new_state.params_g)
+    assert changed(state.params_d, new_state.params_d)
+
+
+def test_train_step_loss_disable_flags(rng):
+    """Phase-3 style: distortion-only fine-tune (no GAN/VGG/feat losses)."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.loss.no_vgg_loss = True
+    cfg.loss.no_g_gan_loss = True
+    cfg.loss.no_d_gan_loss = True
+    cfg.loss.no_gan_feat_loss = True
+    batch = tiny_batch(rng)
+    codec, params_g, inputs = init_codec(cfg, batch)
+    disc = build_discriminator(cfg)
+    d_in = jnp.concatenate([inputs["input_label"], batch["image"]], axis=-1)
+    params_d = disc.init(jax.random.PRNGKey(4), d_in)["params"]
+    state = create_train_state(cfg, params_g, params_d)
+    step = make_train_step(cfg, codec, disc, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(5))
+    assert float(metrics["loss_D"]) == 0.0
+    # D untouched when its loss is disabled (zero grads, but Adam eps keeps it
+    # stationary only with zero updates — verify)
+    for x, y in zip(jax.tree.leaves(state.params_d), jax.tree.leaves(new_state.params_d)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+def test_lambda_annealing(rng):
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.loss.no_vgg_loss = True
+    cfg.loss.anneal_lambda = True
+    cfg.loss.anneal_interval = 2
+    cfg.loss.anneal_factor = 5.0
+    batch = tiny_batch(rng)
+    codec, params_g, inputs = init_codec(cfg, batch)
+    disc = build_discriminator(cfg)
+    d_in = jnp.concatenate([inputs["input_label"], batch["image"]], axis=-1)
+    params_d = disc.init(jax.random.PRNGKey(4), d_in)["params"]
+    state = create_train_state(cfg, params_g, params_d)
+    step = make_train_step(cfg, codec, disc, donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(5))
+    assert float(state.lambda_distortion_weight) == 1.0
+    state, _ = step(state, batch, jax.random.PRNGKey(6))
+    assert float(state.lambda_distortion_weight) == 5.0
+
+
+def test_eval_infer_and_zero_ablations(rng):
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    batch = tiny_batch(rng)
+    codec, params_g, _ = init_codec(cfg, batch)
+    ev = make_eval_step(cfg, codec)
+    loss = ev(params_g, batch)
+    assert np.isfinite(float(loss)) and float(loss) >= 0
+    inf = make_infer_fn(cfg, codec)
+    img = inf(params_g, batch)
+    assert img.shape == (2, H, W, 3)
+
+    # zero_sem ablation changes the output (same params, ablated module —
+    # the ablation is static model config, pix2pixHD_model.py:583-606)
+    cfg2 = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+        zero_sem=True,
+    )
+    inf2 = make_infer_fn(cfg2, SemanticCodec(cfg2))
+    img2 = inf2(params_g, batch)
+    assert not np.allclose(np.asarray(img), np.asarray(img2))
