@@ -1,0 +1,150 @@
+"""Base-codec bridge: route images through an external codec (BPG / JPEG /
+WebP / JPEG2000) and back, host-side.
+
+Replaces Pix2PixHDModel.converter/compress (pix2pixHD_model.py:287-359),
+fixing its two throughput sins:
+  * jpg/webp/j2k run fully in-memory through PIL (BytesIO), no PNG round trip
+    through the filesystem (:340-351);
+  * bpg runs through the ``bpgenc``/``bpgdec`` binaries with direct argv spawn
+    (no shell), unique tempfiles on a ramdisk, and a thread pool — instead of
+    a blocking ``subprocess.run('bpgenc -q ...', shell=True)`` per image per
+    step (:317-318). The temp-file-collision hazard documented at :331-333 is
+    gone (names are per-call unique).
+
+Returns both the decoded image and the bitstream byte count, so base-codec
+bpp is measurable (the reference never tracked it).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import subprocess
+import tempfile
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+class CodecUnavailable(RuntimeError):
+    pass
+
+
+_BPG_ENC = shutil.which("bpgenc")
+_BPG_DEC = shutil.which("bpgdec")
+
+
+def _ramdisk_dir() -> str:
+    for base in ("/dev/shm", tempfile.gettempdir()):
+        if os.path.isdir(base) and os.access(base, os.W_OK):
+            return base
+    return "."
+
+
+def available_codecs() -> List[str]:
+    codecs = ["jpg", "webp", "j2k"]
+    if _BPG_ENC and _BPG_DEC:
+        codecs.append("bpg")
+    return codecs
+
+
+def _pil_round_trip(img: Image.Image, fmt: str, save_kwargs: dict) -> Tuple[Image.Image, int]:
+    buf = io.BytesIO()
+    img.save(buf, format=fmt, **save_kwargs)
+    nbytes = buf.tell()
+    buf.seek(0)
+    out = Image.open(buf)
+    out.load()
+    return out.convert("RGB"), nbytes
+
+
+def encode_decode(
+    img: "Image.Image | np.ndarray", ext: str, quality: int
+) -> Tuple[Image.Image, int]:
+    """One image through the base codec. Returns (decoded RGB PIL image,
+    bitstream bytes). Quality scales follow the reference's converter
+    (pix2pixHD_model.py:305-319): PIL quality for jpg/webp, rate for j2k,
+    BPG quantizer for bpg."""
+    if isinstance(img, np.ndarray):
+        img = Image.fromarray(img)
+    img = img.convert("RGB")
+    if ext == "jpg":
+        return _pil_round_trip(img, "JPEG", {"quality": int(quality)})
+    if ext == "webp":
+        return _pil_round_trip(img, "WEBP", {"quality": int(quality)})
+    if ext == "j2k":
+        return _pil_round_trip(
+            img, "JPEG2000", {"quality_mode": "rates", "quality_layers": [quality]}
+        )
+    if ext == "bpg":
+        if not (_BPG_ENC and _BPG_DEC):
+            raise CodecUnavailable(
+                "bpgenc/bpgdec not found on PATH — install libbpg or use "
+                "ext in {jpg, webp, j2k}"
+            )
+        d = _ramdisk_dir()
+        stem = os.path.join(d, f"jpdse_{uuid.uuid4().hex}")
+        png, bpg, out = stem + ".png", stem + ".bpg", stem + "_dec.png"
+        try:
+            img.save(png)
+            subprocess.run(
+                [_BPG_ENC, "-q", str(int(quality)), "-o", bpg, png],
+                check=True,
+                capture_output=True,
+            )
+            nbytes = os.path.getsize(bpg)
+            subprocess.run(
+                [_BPG_DEC, "-o", out, bpg], check=True, capture_output=True
+            )
+            decoded = Image.open(out).convert("RGB")
+            decoded.load()
+            return decoded, nbytes
+        finally:
+            for p in (png, bpg, out):
+                if os.path.exists(p):
+                    os.unlink(p)
+    raise ValueError("format must be one of jpg, webp, j2k, or bpg")
+
+
+_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=min(16, (os.cpu_count() or 4)))
+    return _POOL
+
+
+def batch_encode_decode(
+    imgs: Sequence["Image.Image | np.ndarray"], ext: str, quality: int
+) -> List[Tuple[Image.Image, int]]:
+    """Thread-pooled batch round trip (PIL and the codec binaries release the
+    GIL / run out-of-process)."""
+    return list(_pool().map(lambda im: encode_decode(im, ext, quality), imgs))
+
+
+def compress_for_model(
+    img_uint8: np.ndarray,
+    ext: str,
+    qualities: Sequence[int],
+    mean,
+    std,
+) -> Tuple[np.ndarray, int]:
+    """The model-facing path (compress, pix2pixHD_model.py:324-359): round-trip
+    one uint8 HWC image at each quality factor, normalize to model space, and
+    concatenate the per-quality outputs on the channel axis.
+
+    Returns (float32 (H, W, 3*len(qualities)), total bitstream bytes).
+    """
+    outs, total = [], 0
+    for q in qualities:
+        dec, nbytes = encode_decode(img_uint8, ext, q)
+        total += nbytes
+        arr = np.asarray(dec, np.float32) / 255.0
+        outs.append((arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32))
+    return np.concatenate(outs, axis=-1), total

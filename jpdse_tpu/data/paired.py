@@ -1,0 +1,128 @@
+"""Paired (image, label, instance) dataset base — the CTUDataset analog
+(ctu/data/ctu_dataset.py:22-139).
+
+Pure numpy/PIL host-side: natural-sorted paths with a pairing sanity check
+(:36-49), one shared random parameter set so image / label / instance get the
+identical crop + flip (:91-116), bicubic image / nearest id-map resampling,
+255->num_labels unknown remap (:104-105), and an optional external-codec
+round trip (the reference did this per step inside the model,
+pix2pixHD_model.py:362-368 — here it's a pipeline stage).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from jpdse_tpu.codecs.bridge import compress_for_model
+from jpdse_tpu.config import Config
+from jpdse_tpu.data.transforms import (
+    apply_transform,
+    image_to_normalized,
+    instance_to_array,
+    label_to_array,
+    sample_params,
+)
+from jpdse_tpu.utils.misc import natural_sort, tensor2im
+
+
+class PairedDataset:
+    """Base class; subclasses implement get_paths / paths_match."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        label_paths, image_paths, instance_paths = self.get_paths(cfg)
+        natural_sort(label_paths)
+        natural_sort(image_paths)
+        if not cfg.model.no_instance:
+            natural_sort(instance_paths)
+        n = cfg.data.max_dataset_size
+        label_paths, image_paths, instance_paths = (
+            label_paths[:n],
+            image_paths[:n],
+            instance_paths[:n],
+        )
+        if not cfg.data.no_pairing_check:
+            for p1, p2 in zip(label_paths, image_paths):
+                if not self.paths_match(p1, p2):
+                    raise ValueError(
+                        f"label/image pair {p1}, {p2} do not look paired; "
+                        "use data.no_pairing_check to bypass"
+                    )
+        self.label_paths = label_paths
+        self.image_paths = image_paths
+        self.instance_paths = instance_paths
+
+    # -- subclass hooks --------------------------------------------------
+    def get_paths(self, cfg: Config) -> Tuple[List[str], List[str], List[str]]:
+        raise NotImplementedError
+
+    def paths_match(self, path1: str, path2: str) -> bool:
+        f1 = os.path.splitext(os.path.basename(path1))[0]
+        f2 = os.path.splitext(os.path.basename(path2))[0]
+        return f1 == f2
+
+    def postprocess(self, sample: Dict) -> Dict:
+        return sample
+
+    # ---------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def _load_triplet(self, index: int):
+        image_path = self.image_paths[index]
+        label_img = instance_img = None
+        if not self.cfg.model.no_label:
+            label_path = self.label_paths[index]
+            if not self.paths_match(label_path, image_path):
+                raise ValueError(f"label {label_path} / image {image_path} mismatch")
+            label_img = Image.open(label_path)
+        if not self.cfg.model.no_instance:
+            instance_path = self.instance_paths[index]
+            if not self.paths_match(instance_path, image_path):
+                raise ValueError(f"instance {instance_path} / image {image_path} mismatch")
+            instance_img = Image.open(instance_path)
+        return Image.open(image_path), label_img, instance_img, image_path
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        cfg = self.cfg
+        rng = rng if rng is not None else np.random.default_rng()
+        image, label, instance, image_path = self._load_triplet(index)
+
+        pp = cfg.data.preprocess
+        params = sample_params(pp, image.size, rng, cfg.data.no_flip)
+        is_train = cfg.is_train
+
+        image = image.convert("RGB")
+        image_t = apply_transform(image, pp, params, Image.BICUBIC, is_train)
+        image_arr = image_to_normalized(
+            image_t, cfg.data.normalize_mean, cfg.data.normalize_std
+        )
+
+        sample: Dict = {"image": image_arr, "path": image_path}
+
+        if label is not None:
+            label_t = apply_transform(label, pp, params, Image.NEAREST, is_train)
+            sample["label"] = label_to_array(label_t, cfg.data.num_labels)
+        if instance is not None:
+            inst_t = apply_transform(instance, pp, params, Image.NEAREST, is_train)
+            sample["instance"] = instance_to_array(inst_t)
+
+        if cfg.codec.use_compressed:
+            # external base codec round trip on the *transformed* image
+            # (pix2pixHD_model.py:324-359)
+            img_u8 = tensor2im(image_arr, cfg.data.normalize_mean, cfg.data.normalize_std)
+            compressed, nbytes = compress_for_model(
+                img_u8,
+                cfg.codec.ext,
+                cfg.codec.quality,
+                cfg.data.normalize_mean,
+                cfg.data.normalize_std,
+            )
+            sample["compressed"] = compressed
+            sample["base_codec_bytes"] = nbytes
+
+        return self.postprocess(sample)
