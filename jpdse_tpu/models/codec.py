@@ -73,6 +73,7 @@ class SemanticCodec(nn.Module):
 
     def setup(self):
         cfg, m = self.cfg, self.cfg.model
+        cfg.validate()
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
         if m.netG == "global":
             self.netG = GlobalGenerator(

@@ -1,0 +1,92 @@
+"""Device mesh + sharding layer.
+
+The reference explicitly rejects multi-device execution
+(ctu/parsers/base_parser.py:236 raises NotImplementedError on >1 GPU;
+DataParallel commented out at pix2pixHD_networks/models.py:22-23). Here
+distribution is first-class and TPU-native (SURVEY.md §2.2 plan):
+
+  * ``data`` axis — batch (DP). Params stay replicated; XLA's SPMD
+    partitioner inserts the gradient all-reduces over ICI.
+  * ``spatial`` axis — the H dimension of activations (the conv-model analog
+    of sequence/context parallelism). Convs on H-sharded activations get
+    their halo exchanges inserted by GSPMD; InstanceNorm's (H, W) reductions
+    become cross-shard collectives automatically.
+
+Everything rides ``jax.sharding.Mesh`` + NamedSharding through ``jax.jit`` —
+no hand-written collectives on the training path (Pallas ring primitives
+live in ops/pallas for custom kernels).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_spatial: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data, spatial) mesh. Default: all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_data is None or n_data <= 0:
+        if n_dev % n_spatial:
+            raise ValueError(f"{n_dev} devices not divisible by spatial={n_spatial}")
+        n_data = n_dev // n_spatial
+    if n_data * n_spatial != n_dev:
+        raise ValueError(
+            f"mesh {n_data}x{n_spatial} != {n_dev} devices"
+        )
+    dev_array = np.asarray(devices).reshape(n_data, n_spatial)
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, shard_spatial: bool = True) -> NamedSharding:
+    """Sharding for a batch array: B over 'data', H (axis 1) over 'spatial'."""
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if shard_spatial and ndim >= 3:
+        spec[1] = SPATIAL_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch: Dict, mesh: Mesh, shard_spatial: bool = True) -> Dict:
+    """Place a host batch dict onto the mesh with (data, spatial) sharding."""
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        out[k] = jax.device_put(arr, batch_sharding(mesh, arr.ndim, shard_spatial))
+    return out
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh, shard_spatial: bool = True):
+    """Wrap an (state, batch, rng) -> (state, metrics) step with mesh
+    shardings: state replicated, batch sharded (data, spatial), rng
+    replicated. XLA inserts all collectives (psum for grads over 'data',
+    halo exchanges for H-sharded convs over 'spatial')."""
+    repl = replicated(mesh)
+
+    def sharded(state, batch, rng):
+        state = jax.device_put(state, repl)
+        batch = {
+            k: jax.device_put(
+                np.asarray(v), batch_sharding(mesh, np.asarray(v).ndim, shard_spatial)
+            )
+            for k, v in batch.items()
+        }
+        rng = jax.device_put(rng, repl)
+        return step_fn(state, batch, rng)
+
+    return sharded

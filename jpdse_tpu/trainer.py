@@ -1,0 +1,190 @@
+"""Trainer orchestration — the framework's equivalent of the reference trainer
+protocol (ctu/trainers/base_trainer.py:25-87 + pix2pixHD_trainer.py:11-176):
+``step`` / ``get_eval_loss`` / ``get_img`` / ``get_code`` / ``get_eval_rate``
+/ ``save`` / ``load`` / ``scheduler_step``, built on the jitted step functions
+and a single train-state PyTree.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpdse_tpu.config import Config
+from jpdse_tpu.models import SemanticCodec, build_discriminator, prepare_inputs
+from jpdse_tpu.models.vgg import init_vgg19
+from jpdse_tpu.ops.metrics import bernoulli_shannon_bpp
+from jpdse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from jpdse_tpu.train.schedule import ReduceLROnPlateau
+from jpdse_tpu.train.state import GANTrainState, create_train_state, set_lr
+from jpdse_tpu.train.step import (
+    make_codes_fn,
+    make_eval_step,
+    make_infer_fn,
+    make_train_step,
+)
+
+DEVICE_KEYS = ("label", "instance", "image", "compressed")
+
+
+def device_batch(batch: Dict) -> Dict:
+    """Strip host-only fields; jit moves arrays on call."""
+    return {k: batch[k] for k in DEVICE_KEYS if k in batch}
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mode: str = "train", sample_batch: Optional[Dict] = None):
+        self.cfg = cfg
+        self.mode = mode
+        self.codec = SemanticCodec(cfg)
+        self.start_epoch = 0
+        self.sched: Optional[ReduceLROnPlateau] = None
+
+        if sample_batch is None:
+            sample_batch = self._synthetic_batch()
+        sample_batch = device_batch(sample_batch)
+
+        rngs = {
+            "params": jax.random.PRNGKey(cfg.optim.seed or 0),
+            "binarize": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+        }
+        inputs = prepare_inputs(
+            cfg,
+            sample_batch.get("label"),
+            sample_batch.get("instance"),
+            sample_batch["image"],
+            sample_batch.get("compressed"),
+        )
+        with jax.default_device(jax.devices()[0]):
+            variables = self.codec.init(rngs, inputs, method=SemanticCodec.decode)
+        params_g = variables["params"]
+
+        self.disc = build_discriminator(cfg)
+        params_d = None
+        if mode == "train":
+            fake_shape = list(sample_batch["image"].shape)
+            fake_shape[-1] = cfg.data.num_out_channels
+            d_in_c = cfg.netD_input_nc
+            d_in = jnp.zeros(fake_shape[:3] + [d_in_c], jnp.float32)
+            params_d = self.disc.init(jax.random.PRNGKey(3), d_in)["params"]
+        else:
+            params_d = {}
+
+        self.state = create_train_state(cfg, params_g, params_d)
+
+        vgg_apply = None
+        if mode == "train" and not cfg.loss.no_vgg_loss:
+            vgg_model, vgg_vars = init_vgg19(0, cfg.loss.vgg_weights_path)
+            vgg_apply = lambda x: vgg_model.apply(vgg_vars, x)  # noqa: E731
+        self._train_step = (
+            make_train_step(cfg, self.codec, self.disc, vgg_apply)
+            if mode == "train"
+            else None
+        )
+        self._eval_step = make_eval_step(cfg, self.codec)
+        self._infer = make_infer_fn(cfg, self.codec)
+        self._codes = make_codes_fn(cfg, self.codec)
+        self._rng = jax.random.PRNGKey(cfg.optim.seed or 0)
+
+        if mode == "train" and cfg.optim.schedule_lr:
+            self.sched = ReduceLROnPlateau(
+                lr=cfg.optim.lr,
+                factor=cfg.optim.lr_decay_factor,
+                patience=cfg.optim.lr_decay_patience,
+            )
+
+    # ------------------------------------------------------------------
+    def _synthetic_batch(self) -> Dict:
+        cfg = self.cfg
+        pp = cfg.data.preprocess
+        if pp.preprocess_mode == "fixed":
+            w = pp.crop_size
+            h = round(pp.crop_size / pp.aspect_ratio)
+        else:
+            w = h = pp.crop_size
+        b = cfg.data.batch_size
+        batch = {"image": np.zeros((b, h, w, 3), np.float32)}
+        if not cfg.model.no_label:
+            batch["label"] = np.zeros((b, h, w), np.float32)
+        if not cfg.model.no_instance:
+            batch["instance"] = np.zeros((b, h, w), np.int32)
+        if cfg.codec.use_compressed:
+            c = 3 * len(cfg.codec.quality)
+            batch["compressed"] = np.zeros((b, h, w, c), np.float32)
+        return batch
+
+    # -- trainer protocol ------------------------------------------------
+    def step(self, batch: Dict) -> Dict[str, float]:
+        """One G+D update; returns the loss dict (pix2pixHD_trainer.py:42-85)."""
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, metrics = self._train_step(self.state, device_batch(batch), sub)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def get_eval_loss(self, batch: Dict) -> float:
+        return float(self._eval_step(self.state.params_g, device_batch(batch)))
+
+    def get_img(self, batch: Dict) -> np.ndarray:
+        return np.asarray(self._infer(self.state.params_g, device_batch(batch)))
+
+    def get_code(self, batch: Dict) -> np.ndarray:
+        """Concatenated binary codes (pix2pixHD_trainer.py:100-103)."""
+        codes = self._codes(self.state.params_g, device_batch(batch))
+        if not codes:
+            raise ValueError("no binarized module in this configuration")
+        return np.concatenate([np.asarray(c) for c in codes], axis=-1)
+
+    def get_eval_rate(self, batch: Dict) -> Tuple[float, float]:
+        """(shannon_bpp, actual_bpp) averaged over the batch
+        (pix2pixHD_model.py:468-492); codes rate-estimated separately and
+        summed, matching the reference's per-code loop."""
+        codes = self._codes(self.state.params_g, device_batch(batch))
+        img = batch["image"]
+        num_pixels = img.shape[1] * img.shape[2]
+        b = img.shape[0]
+        shannon_total, actual_total = 0.0, 0.0
+        for code in codes:
+            for j in range(b):
+                s, a = bernoulli_shannon_bpp(code[j], num_pixels)
+                shannon_total += float(s)
+                actual_total += float(a)
+        return shannon_total / b, actual_total / b
+
+    def scheduler_step(self, val_loss: float):
+        if self.sched is not None:
+            new_lr = self.sched.step(val_loss)
+            self.state = set_lr(self.state, new_lr)
+
+    def save(self, epoch: int, val_loss: float):
+        self.state = self.state.replace(
+            best_val_loss=jnp.asarray(val_loss, jnp.float32)
+        )
+        meta = {}
+        if self.sched is not None:
+            meta["scheduler"] = self.sched.state_dict()
+        save_checkpoint(self.cfg.save_dir, self.state, epoch, meta)
+        print(f"\ncheckpoint saved to {self.cfg.save_dir}\n")
+
+    def load(self):
+        ckpt_dir = self.cfg.checkpoints_dir or self.cfg.save_dir
+        self.state, meta = restore_checkpoint(
+            ckpt_dir, self.state, restore_opt=(self.mode == "train")
+        )
+        if self.mode == "train":
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            if self.sched is not None and "scheduler" in meta:
+                self.sched.load_state_dict(meta["scheduler"])
+                self.state = set_lr(self.state, self.sched.lr)
+        print(f"checkpoint loaded; starting from epoch {self.start_epoch + 1}")
+
+    @property
+    def best_val_loss(self) -> float:
+        return float(self.state.best_val_loss)
+
+    @property
+    def steps_taken(self) -> int:
+        return int(self.state.steps_taken)

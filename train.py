@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Training entry point — same surface as the reference train.py:1-149:
+epoch loop with per-batch trainer.step, periodic validation capped at
+MAX_VAL_SIZE=30, ReduceLROnPlateau on val loss, best-val-gated checkpointing
+(or --always_save), loss_log.txt, and an HTML gallery of reconstructions.
+
+Example (the reference's phase-2 BPG recipe, scripts/pix2pixHD_bpg_train.sh):
+  python train.py --dataset cityscapes --root_dir /data/cityscapes \\
+    --model pix2pixHD --no_label_encoding --no_feat_encoding \\
+    --no_generator_binarization --use_compressed --ext bpg --quality 33 \\
+    --preprocess_mode fixed --load_size 1024 --crop_size 1024 \\
+    --normalize_std '1.,1.,1.' --seed 1234 --save_dir runs/bpg33 --always_save
+"""
+
+import os
+import time
+
+import numpy as np
+
+from jpdse_tpu.cli import parse_config, print_config
+from jpdse_tpu.config import derive_eval_config
+from jpdse_tpu.data import create_dataloader
+from jpdse_tpu.trainer import Trainer
+from jpdse_tpu.utils.misc import count_params
+from jpdse_tpu.utils.visualizer import HTMLGallery, Visualizer
+
+MAX_VAL_SIZE = 30  # reference train.py:16
+
+
+def log(msg: str, log_file=None):
+    print(msg)
+    if log_file:
+        with open(log_file, "a") as f:
+            print(msg, file=f)
+
+
+def validate(trainer, val_loader, log_file, cfg):
+    print("\nvalidating...\n")
+    total, n = 0.0, 0
+    start = time.time()
+    for i, batch in enumerate(val_loader):
+        if i == MAX_VAL_SIZE:
+            break
+        loss = trainer.get_eval_loss(batch)
+        total += loss
+        n += 1
+        end = time.time()
+        print(
+            f"batch {i + 1}/{len(val_loader)}, distortion ({cfg.loss.distortion_loss_fn}) "
+            f"{loss:.4f}, batch processing time (s) {end - start:.4f}"
+        )
+        start = time.time()
+    avg = total / max(n, 1)
+    log(
+        f"val set avg distortion ({cfg.loss.distortion_loss_fn}) {avg:.4f}", log_file
+    )
+    return avg
+
+
+def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer):
+    print("\nsaving reconstructed val images...\n")
+    for i, batch in enumerate(val_loader):
+        if i == MAX_VAL_SIZE:
+            break
+        recon = trainer.get_img(batch)
+        for j in range(recon.shape[0]):
+            visuals = {}
+            if not cfg.model.no_label:
+                visuals["label"] = batch["label"][j]
+            visuals["image"] = batch["image"][j]
+            visuals["reconstructed_image"] = recon[j]
+            visualizer.save_images(gallery, visuals, batch["path"][j])
+        gallery.save()
+
+
+def main():
+    cfg = parse_config(is_train=True)
+    val_cfg = derive_eval_config(cfg, mode="val")
+    print("\ntrain options:\n")
+    print_config(cfg)
+
+    if cfg.optim.seed is not None:
+        np.random.seed(cfg.optim.seed)
+
+    if cfg.save_dir:
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        cfg.save(os.path.join(cfg.save_dir, "opt.json"))
+
+    loader = create_dataloader(cfg)
+    val_loader = create_dataloader(val_cfg)
+    visualizer = Visualizer(cfg)
+    web_dir = os.path.join(cfg.save_dir, "train_visualizations")
+    gallery = HTMLGallery(web_dir, "visualizations")
+
+    sample_batch = next(iter(val_loader))
+    trainer = Trainer(cfg, mode="train", sample_batch=sample_batch)
+    n_params = count_params(trainer.state.params_g)
+    print(f"# trainable params at initialization: {n_params}")
+
+    log_file = os.path.join(cfg.save_dir, "loss_log.txt") if cfg.save_dir else None
+
+    if cfg.load_model:
+        trainer.load()
+        # validate to confirm the load (reference train.py:51-76)
+        validate(trainer, val_loader, log_file, cfg)
+
+    for epoch in range(trainer.start_epoch, trainer.start_epoch + cfg.optim.num_epochs):
+        loader.set_epoch(epoch)
+        start = time.time()
+        for i, batch in enumerate(loader):
+            metrics = trainer.step(batch)
+            end = time.time()
+            print(
+                "g_gan: {G_GAN:.4f}, g_gan_feat_match: {G_GAN_Feat:.4f}, "
+                "g_vgg: {G_VGG:.4f}, g_distortion: {G_Distortion:.4f}, "
+                "d_real: {D_real:.4f}, d_fake: {D_fake:.4f}".format(**metrics)
+            )
+            log(
+                f"epoch {epoch + 1}/{trainer.start_epoch + cfg.optim.num_epochs}, "
+                f"batch {i + 1}/{len(loader)}, distortion "
+                f"({cfg.loss.distortion_loss_fn}) {metrics['G_Distortion']:.4f}, "
+                f"batch processing time (s) {end - start:.4f}",
+                log_file,
+            )
+            start = time.time()
+
+        if not (epoch + 1) % cfg.optim.val_interval:
+            avg = validate(trainer, val_loader, log_file, cfg)
+            if cfg.optim.schedule_lr:
+                trainer.scheduler_step(avg)
+            if cfg.always_save or (avg < trainer.best_val_loss and cfg.save_dir):
+                dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer)
+                log("saving model...", log_file)
+                trainer.save(epoch, avg)
+
+
+if __name__ == "__main__":
+    main()
