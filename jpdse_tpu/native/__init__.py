@@ -1,0 +1,128 @@
+"""Native (C++) runtime components + ctypes bindings.
+
+Builds ``libjpdse_native.so`` on demand with the in-repo Makefile (g++; no
+external deps). Components:
+  * adaptive binary range coder (entropy coding for binarized codes) —
+    the reference only *estimated* rate (pix2pixHD_model.py:480-489) and
+    dumped one raw byte per bit (test.py:98-110); this produces real
+    bitstreams.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libjpdse_native.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build():
+        raise NativeUnavailable("could not build libjpdse_native.so (g++ missing?)")
+    lib = ctypes.CDLL(_SO)
+    lib.jpdse_rc_encode.restype = ctypes.c_int64
+    lib.jpdse_rc_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_rc_decode.restype = ctypes.c_int64
+    lib.jpdse_rc_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _as_ctx(contexts: Optional[np.ndarray], n: int):
+    if contexts is None:
+        return None, 1
+    ctx = np.ascontiguousarray(contexts, dtype=np.int32)
+    if ctx.size != n:
+        raise ValueError(f"contexts size {ctx.size} != n bits {n}")
+    return ctx, int(ctx.max()) + 1
+
+
+def entropy_encode(
+    bits: np.ndarray, contexts: Optional[np.ndarray] = None
+) -> bytes:
+    """Encode a {0,1} bit array into a compressed bitstream."""
+    lib = load()
+    b = np.ascontiguousarray(bits.reshape(-1), dtype=np.uint8)
+    n = b.size
+    ctx, n_ctx = _as_ctx(contexts, n)
+    cap = n // 2 + 1024  # worst case ~n/8 + adaptation overhead; generous
+    out = np.empty(cap, dtype=np.uint8)
+    ctx_ptr = (
+        ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) if ctx is not None else None
+    )
+    size = lib.jpdse_rc_encode(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        ctx_ptr, n_ctx,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if size < 0:
+        # incompressible worst case: fall back to a bigger buffer
+        cap = n + 4096
+        out = np.empty(cap, dtype=np.uint8)
+        size = lib.jpdse_rc_encode(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            ctx_ptr, n_ctx,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if size < 0:
+            raise RuntimeError("range coder overflow")
+    return out[:size].tobytes()
+
+
+def entropy_decode(
+    data: bytes, n_bits: int, contexts: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Decode a bitstream back into its {0,1} bit array."""
+    lib = load()
+    src = np.frombuffer(data, dtype=np.uint8)
+    src = np.ascontiguousarray(src)
+    ctx, n_ctx = _as_ctx(contexts, n_bits)
+    bits = np.empty(n_bits, dtype=np.uint8)
+    ctx_ptr = (
+        ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) if ctx is not None else None
+    )
+    lib.jpdse_rc_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+        ctx_ptr, n_ctx,
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_bits,
+    )
+    return bits

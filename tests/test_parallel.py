@@ -1,0 +1,92 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: DP + spatial sharding
+of the full train step, and numerical equivalence with single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jpdse_tpu.models import build_discriminator
+from jpdse_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)
+from jpdse_tpu.train.state import create_train_state
+from jpdse_tpu.train.step import make_train_step
+
+from tests.test_codec_model import init_codec, tiny_batch, tiny_cfg
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    mesh2 = make_mesh()  # all devices on data axis
+    assert mesh2.shape == {"data": 8, "spatial": 1}
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)
+
+
+def test_shard_batch_placement(rng):
+    mesh = make_mesh(4, 2)
+    batch = {k: v for k, v in tiny_batch(rng, b=4).items()}
+    sharded = shard_batch(batch, mesh)
+    img = sharded["image"]
+    assert img.sharding == batch_sharding(mesh, 4)
+    # B=4 over 4 data shards, H over 2 spatial shards
+    shard_shapes = {s.data.shape for s in img.addressable_shards}
+    assert shard_shapes == {(1, 16, 64, 3)}
+
+
+def _setup(rng):
+    cfg = tiny_cfg(
+        no_label_encoding=True, no_feat_encoding=True, no_generator_binarization=True
+    )
+    cfg.loss.no_vgg_loss = True
+    batch = tiny_batch(rng, b=4)
+    codec, params_g, inputs = init_codec(cfg, batch)
+    disc = build_discriminator(cfg)
+    d_in = jnp.concatenate([inputs["input_label"], batch["image"]], axis=-1)
+    params_d = disc.init(jax.random.PRNGKey(4), d_in)["params"]
+    state = create_train_state(cfg, params_g, params_d)
+    step = make_train_step(cfg, codec, disc, donate=False)
+    return cfg, codec, disc, state, step, batch
+
+
+def test_sharded_step_matches_single_device(rng):
+    """The dp x sp sharded step must produce the same update as single-device
+    (GSPMD inserts collectives; math is identical)."""
+    _, _, _, state, step, batch = _setup(rng)
+    key = jax.random.PRNGKey(5)
+
+    single_state, single_metrics = step(state, batch, key)
+
+    mesh = make_mesh(4, 2)
+    sharded = make_sharded_train_step(step, mesh)
+    sh_state, sh_metrics = sharded(state, batch, key)
+
+    for k in single_metrics:
+        np.testing.assert_allclose(
+            float(single_metrics[k]), float(sh_metrics[k]), rtol=2e-4, atol=1e-5
+        )
+    # After one Adam step every param moves by ~±lr (m/sqrt(v) ~ sign(grad));
+    # params with near-zero gradients can flip that sign under different
+    # reduction orders, so compare at the step-size scale.
+    lr = 2e-4
+    for a, b in zip(
+        jax.tree.leaves(single_state.params_g), jax.tree.leaves(sh_state.params_g)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3 * lr)
+
+
+def test_data_parallel_only_mesh(rng):
+    _, _, _, state, step, batch = _setup(rng)
+    mesh = make_mesh(8, 1)
+    sharded = make_sharded_train_step(step, mesh, shard_spatial=False)
+    # batch of 4 on 8 data shards is invalid; use b=8 via repetition
+    batch8 = {k: np.concatenate([np.asarray(v)] * 2, axis=0) for k, v in batch.items()}
+    new_state, metrics = sharded(state, batch8, jax.random.PRNGKey(0))
+    assert int(new_state.steps_taken) == 1
+    assert np.isfinite(float(metrics["loss_G"]))
