@@ -29,6 +29,7 @@ class GANTrainState:
     steps_taken: jax.Array  # int32 scalar
     lambda_distortion_weight: jax.Array  # float32 scalar (annealed)
     best_val_loss: jax.Array  # float32 scalar (1e12 init, base_trainer.py:12)
+    pool: Any = None  # optional ImagePoolState (model.pool_size > 0)
 
 
 def make_optimizers(cfg: Config):
@@ -46,8 +47,17 @@ def make_optimizers(cfg: Config):
     return adam(), adam()
 
 
-def create_train_state(cfg: Config, params_g, params_d) -> GANTrainState:
+def create_train_state(
+    cfg: Config, params_g, params_d, pool_image_shape=None
+) -> GANTrainState:
     opt_g, opt_d = make_optimizers(cfg)
+    pool = None
+    if cfg.model.pool_size > 0:
+        if pool_image_shape is None:
+            raise ValueError("pool_size > 0 requires pool_image_shape (H, W, C)")
+        from jpdse_tpu.utils.image_pool import init_pool
+
+        pool = init_pool(cfg.model.pool_size, tuple(pool_image_shape))
     return GANTrainState(
         params_g=params_g,
         params_d=params_d,
@@ -56,6 +66,7 @@ def create_train_state(cfg: Config, params_g, params_d) -> GANTrainState:
         steps_taken=jnp.asarray(0, jnp.int32),
         lambda_distortion_weight=jnp.asarray(1.0, jnp.float32),
         best_val_loss=jnp.asarray(1e12, jnp.float32),
+        pool=pool,
     )
 
 

@@ -122,13 +122,14 @@ def make_train_step(
         }
         return total, aux
 
-    def d_loss_fn(params_d, inputs, fake, input_label):
+    def d_loss_fn(params_d, inputs, fake_concat, input_label):
+        """fake_concat is the (possibly pool-replayed) detached
+        label+fake pair (pix2pixHD_model.py:451-460)."""
         real = inputs["real_image"]
-        fake_sg = jax.lax.stop_gradient(fake)
         label_sg = (
             jax.lax.stop_gradient(input_label) if input_label is not None else None
         )
-        pred_fake = disc.apply({"params": params_d}, _d_concat(label_sg, fake_sg))
+        pred_fake = disc.apply({"params": params_d}, fake_concat)
         pred_real = disc.apply({"params": params_d}, _d_concat(label_sg, real))
         l_fake = gan_loss(pred_fake, False, use_lsgan)
         l_real = gan_loss(pred_real, True, use_lsgan)
@@ -143,10 +144,23 @@ def make_train_step(
             rng,
             state.lambda_distortion_weight,
         )
+        new_pool = state.pool
         if not L.no_d_gan_loss:
+            label_sg = (
+                jax.lax.stop_gradient(aux["input_label"])
+                if aux["input_label"] is not None
+                else None
+            )
+            fake_concat = _d_concat(label_sg, jax.lax.stop_gradient(aux["fake"]))
+            if cfg.model.pool_size > 0:
+                from jpdse_tpu.utils.image_pool import query as pool_query
+
+                new_pool, fake_concat = pool_query(
+                    state.pool, fake_concat, jax.random.fold_in(rng, 2)
+                )
             (loss_d, (l_real, l_fake)), grads_d = jax.value_and_grad(
                 d_loss_fn, has_aux=True
-            )(state.params_d, inputs, aux["fake"], aux["input_label"])
+            )(state.params_d, inputs, fake_concat, aux["input_label"])
         else:
             loss_d = jnp.asarray(0.0, jnp.float32)
             l_real = l_fake = loss_d
@@ -169,6 +183,7 @@ def make_train_step(
             opt_state_d=new_os_d,
             steps_taken=steps,
             lambda_distortion_weight=lam,
+            pool=new_pool,
         )
         metrics = {
             "G_GAN": aux["G_GAN"],

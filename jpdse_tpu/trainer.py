@@ -75,7 +75,11 @@ class Trainer:
         else:
             params_d = {}
 
-        self.state = create_train_state(cfg, params_g, params_d)
+        pool_shape = None
+        if cfg.model.pool_size > 0:
+            h, w = sample_batch["image"].shape[1:3]
+            pool_shape = (h, w, cfg.netD_input_nc)
+        self.state = create_train_state(cfg, params_g, params_d, pool_shape)
 
         vgg_apply = None
         if mode == "train" and not cfg.loss.no_vgg_loss:
