@@ -1,0 +1,173 @@
+"""Space-to-depth conv transforms — mathematically exact re-layouts of the
+network's high-resolution, few-channel layers into MXU-friendly form.
+
+Why: on TPU, convs contract over input channels on the MXU's 128-wide lanes.
+The codec's full-resolution layers (7x7 head conv on ~36-40 channels, 64-ch
+stride-2 downsample, final ConvTranspose + 7x7 tail) run at 15-40 TFLOP/s
+while the deep 1024-channel res blocks hit ~160 TFLOP/s (measured, v5e).
+Re-expressing those layers in the space-to-depth domain ((H, W, C) stored as
+(H/2, W/2, 4C), channel index = (su*2+sv)*C + c) lifts the contraction to
+>=128 channels and quarters the spatial extent — same math, bit-equal
+results up to float reassociation.
+
+Transforms (all verified against the direct computation in
+tests/test_s2d.py):
+  * ``conv_s1_weights_to_s2d``  — odd-k stride-1 conv on a pre-padded input,
+    computed entirely in the s2d domain (k' = k//2 + 1).
+  * ``conv_s2_weights_from_s2d`` — 3x3 stride-2 conv consuming an s2d input
+    and producing a normal-domain output (k' = 2): the downsample exits the
+    s2d domain for free.
+  * ``convT_s2_weights_to_s2d`` — 3x3 stride-2 ConvTranspose(p=1, op=1)
+    producing its 2x-upsampled output directly in s2d form (k' = 2).
+  * ``instance_norm_s2d`` — InstanceNorm with statistics over the original
+    (H, W) extent, i.e. jointly over the 4 sub-position channel groups.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (su*2 + sv)*C + c."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(y: jax.Array) -> jax.Array:
+    """Inverse of space_to_depth."""
+    b, h2, w2, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(b, h2, w2, 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h2 * 2, w2 * 2, c)
+
+
+def conv_s1_weights_to_s2d(w: np.ndarray) -> np.ndarray:
+    """(k, k, Cin, Cout) stride-1 odd-k conv -> s2d-domain weights
+    (k', k', 4Cin, 4Cout) with k' = k//2 + 1.
+
+    Contract: the fine input is already padded by p = (k-1)/2 per side (any
+    padding mode) and converted with space_to_depth; a VALID conv with the
+    returned kernel yields the s2d form of the fine conv output.
+    Derivation: fine output (2i+di, 2j+dj) reads padded fine rows
+    [2i+di, 2i+di+k); padded fine row 2(i+u') + su maps to tap
+    u = 2u' + su - di when 0 <= u < k.
+    """
+    k, k2, cin, cout = w.shape
+    assert k == k2 and k % 2 == 1
+    kp = k // 2 + 1
+    wp = np.zeros((kp, kp, 4 * cin, 4 * cout), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            for su in range(2):
+                for sv in range(2):
+                    for up in range(kp):
+                        u = 2 * up + su - di
+                        if not (0 <= u < k):
+                            continue
+                        for vp in range(kp):
+                            v = 2 * vp + sv - dj
+                            if not (0 <= v < k):
+                                continue
+                            ci = (su * 2 + sv)  # input sub-position group
+                            co = (di * 2 + dj)
+                            wp[up, vp, ci * cin : (ci + 1) * cin,
+                               co * cout : (co + 1) * cout] = w[u, v]
+    return wp
+
+
+def conv_s2_weights_from_s2d(w: np.ndarray) -> np.ndarray:
+    """(3, 3, Cin, Cout) stride-2 pad-1 conv -> (2, 2, 4Cin, Cout) weights
+    consuming an s2d input and producing the normal-domain output.
+
+    Contract: the fine input is padded by 1 per side (making H+2 even) and
+    space_to_depth'd; a VALID stride-1 conv with the returned kernel equals
+    the fine stride-2 conv. Padded fine row 2(i+u') + su maps to tap
+    t = 2u' + su (t < 3)."""
+    k, k2, cin, cout = w.shape
+    assert k == 3 and k2 == 3
+    wp = np.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for su in range(2):
+        for sv in range(2):
+            for up in range(2):
+                t = 2 * up + su
+                if t >= 3:
+                    continue
+                for vp in range(2):
+                    s = 2 * vp + sv
+                    if s >= 3:
+                        continue
+                    ci = su * 2 + sv
+                    wp[up, vp, ci * cin : (ci + 1) * cin, :] = w[t, s]
+    return wp
+
+
+def conv_s2_weights_from_s2d_nopad(w: np.ndarray) -> np.ndarray:
+    """Like :func:`conv_s2_weights_from_s2d`, but for an *unpadded* s2d input
+    plus an explicit (1, 0) zero pad on each s2d spatial dim.
+
+    out[i] reads fine rows [2i-1, 2i+2): fine 2i-1 = s2d row i-1 / su=1;
+    fine 2i, 2i+1 = s2d row i / su=0,1 — a k'=2 window over s2d rows
+    [i-1, i]: w''[0, su=1] = w[0]; w''[1, su=0] = w[1]; w''[1, su=1] = w[2].
+    """
+    k, k2, cin, cout = w.shape
+    assert k == 3 and k2 == 3
+    taps = {(0, 1): 0, (1, 0): 1, (1, 1): 2}  # (u', su) -> fine tap
+    wp = np.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for (up, su), t in taps.items():
+        for (vp, sv), s in taps.items():
+            ci = su * 2 + sv
+            wp[up, vp, ci * cin : (ci + 1) * cin, :] = w[t, s]
+    return wp
+
+
+def convT_s2_weights_to_s2d(w: np.ndarray) -> np.ndarray:
+    """(3, 3, Cin, Cout) ConvTranspose(stride=2, pad=1, output_padding=1)
+    weights (our HWIO layout) -> (2, 2, Cin, 4 Cout) weights producing the
+    2x-upsampled output directly in s2d form.
+
+    Contract: ``w`` is the effective *correlation* kernel g (for our
+    ConvTranspose module that is ``flip(params['kernel'])``). Pad the input by
+    (0, 1) per spatial dim (one trailing zero row/col) and run a VALID
+    stride-1 conv. Derivation (1-D, from y[p] = sum_t g[t] d[p+t-1] over the
+    2x-dilated input d): di=0 -> g[1] x[i]; di=1 -> g[0] x[i] + g[2] x[i+1].
+    """
+    k, k2, cin, cout = w.shape
+    assert k == 3 and k2 == 3
+    # 1-D mapping: list of (u', tap) per parity di
+    taps = {0: [(0, 1)], 1: [(0, 0), (1, 2)]}
+    wp = np.zeros((2, 2, cin, 4 * cout), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            co = di * 2 + dj
+            for up, u in taps[di]:
+                for vp, v in taps[dj]:
+                    wp[up, vp, :, co * cout : (co + 1) * cout] += w[u, v]
+    return wp
+
+
+def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm over the *fine* (H, W) extent of an s2d tensor: stats are
+    shared across the 4 sub-position groups of each original channel."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x32 = x.astype(jnp.float32).reshape(b, h, w, 4, c)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y.reshape(b, h, w, c4).astype(x.dtype)
+
+
+def conv_valid(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(0, 0), (0, 0)], dimension_numbers=dn
+    )

@@ -1,0 +1,82 @@
+"""Exactness tests for the space-to-depth conv transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jpdse_tpu.models.layers import instance_norm, reflect_pad
+from jpdse_tpu.ops.s2d import (
+    conv_s1_weights_to_s2d,
+    conv_s2_weights_from_s2d,
+    conv_valid,
+    convT_s2_weights_to_s2d,
+    depth_to_space,
+    instance_norm_s2d,
+    space_to_depth,
+)
+
+
+def test_s2d_round_trip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x)
+    )
+
+
+@pytest.mark.parametrize("k", [3, 7])
+def test_conv_s1_in_s2d_domain(rng, k):
+    """reflect-pad + conv(k, s1) == s2d(conv') on the padded-s2d input."""
+    cin, cout = 5, 6
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, cin)).astype(np.float32))
+    w = rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.1
+    p = (k - 1) // 2
+    direct = conv_valid(reflect_pad(x, p), jnp.asarray(w))
+
+    xp = space_to_depth(reflect_pad(x, p))
+    wp = jnp.asarray(conv_s1_weights_to_s2d(w))
+    s2d_out = conv_valid(xp, wp)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(s2d_out)), np.asarray(direct), atol=1e-5
+    )
+
+
+def test_conv_s2_from_s2d_domain(rng):
+    """zero-pad-1 + conv(3, s2) == conv'(s2d(padded), s1) in normal domain."""
+    cin, cout = 4, 7
+    x = jnp.asarray(rng.normal(size=(1, 16, 24, cin)).astype(np.float32))
+    w = rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    direct = conv_valid(xpad, jnp.asarray(w), stride=2)
+
+    xp = space_to_depth(xpad)
+    wp = jnp.asarray(conv_s2_weights_from_s2d(w))
+    got = conv_valid(xp, wp)
+    assert got.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), atol=1e-5)
+
+
+def test_convT_s2_to_s2d_domain(rng):
+    """ConvTranspose(3, s2, p1, op1) == d2s(conv''(pad01(x), s1))."""
+    from jpdse_tpu.models.layers import ConvTranspose
+
+    cin, cout = 6, 5
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, cin)).astype(np.float32))
+    m = ConvTranspose(features=cout, kernel_size=3, stride=2, padding=1, output_padding=1, use_bias=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    direct = m.apply(v, x)
+    w = np.asarray(v["params"]["kernel"])  # (3,3,cin,cout)
+    # our ConvTranspose correlates with the flipped kernel; the math in
+    # convT_s2_weights_to_s2d is phrased on the flipped (conv-gradient) taps
+    wp = jnp.asarray(convT_s2_weights_to_s2d(np.flip(w, axis=(0, 1))))
+    xpad = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    got = depth_to_space(conv_valid(xpad, wp))
+    assert got.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), atol=1e-5)
+
+
+def test_instance_norm_s2d_matches_fine(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 6)).astype(np.float32) * 2 + 1)
+    want = instance_norm(x)
+    got = depth_to_space(instance_norm_s2d(space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
