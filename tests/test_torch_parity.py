@@ -105,7 +105,7 @@ class TorchResnetBlock(tnn.Module):
 
     def __init__(self, dim):
         super().__init__()
-        self.block = tnn.Sequential(
+        self.conv_block = tnn.Sequential(
             tnn.ReflectionPad2d(1),
             tnn.Conv2d(dim, dim, 3),
             tnn.InstanceNorm2d(dim, affine=False),
@@ -116,7 +116,7 @@ class TorchResnetBlock(tnn.Module):
         )
 
     def forward(self, x):
-        return x + self.block(x)
+        return x + self.conv_block(x)
 
 
 def test_resnet_block_matches_torch(rng):
@@ -125,10 +125,10 @@ def test_resnet_block_matches_torch(rng):
     v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
     ours = m.apply(v, jnp.asarray(x))
     t = TorchResnetBlock(16)
-    t.block[1].weight.data = conv_w_to_torch(v["params"]["conv1"]["conv"]["kernel"])
-    t.block[1].bias.data = torch.from_numpy(np.asarray(v["params"]["conv1"]["conv"]["bias"]))
-    t.block[5].weight.data = conv_w_to_torch(v["params"]["conv2"]["conv"]["kernel"])
-    t.block[5].bias.data = torch.from_numpy(np.asarray(v["params"]["conv2"]["conv"]["bias"]))
+    t.conv_block[1].weight.data = conv_w_to_torch(v["params"]["conv1"]["conv"]["kernel"])
+    t.conv_block[1].bias.data = torch.from_numpy(np.asarray(v["params"]["conv1"]["conv"]["bias"]))
+    t.conv_block[5].weight.data = conv_w_to_torch(v["params"]["conv2"]["conv"]["kernel"])
+    t.conv_block[5].bias.data = torch.from_numpy(np.asarray(v["params"]["conv2"]["conv"]["bias"]))
     golden = from_nchw(t(to_nchw(x)))
     np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=1e-5)
 
@@ -186,8 +186,8 @@ def test_global_generator_matches_torch(rng):
         set_conv(t[li], p[f"down{i}"]["conv"]["conv"])
         li += 3
     for i in range(n_blocks):
-        set_conv(t[li].block[1], p[f"res{i}"]["conv1"]["conv"])
-        set_conv(t[li].block[5], p[f"res{i}"]["conv2"]["conv"])
+        set_conv(t[li].conv_block[1], p[f"res{i}"]["conv1"]["conv"])
+        set_conv(t[li].conv_block[5], p[f"res{i}"]["conv2"]["conv"])
         li += 1
     for i in range(n_down):
         t[li].weight.data = convT_w_to_torch(p[f"up{i}"]["deconv"]["kernel"])
