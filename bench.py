@@ -143,27 +143,27 @@ def main():
 
     # NOTE on timing: under the axon relay, block_until_ready is effectively
     # a no-op and device->host transfers are extremely slow, so we (a) chain
-    # iterations by feeding the output image back as the input (true data
-    # dependency -> sequential execution), (b) synchronize by fetching a
-    # single scalar, and (c) run a two-point measurement T(n2)-T(n1) to
-    # cancel the constant fetch/dispatch latency.
+    # iterations inside one compiled fori_loop by feeding the output image
+    # back as the input (true data dependency -> sequential execution),
+    # (b) synchronize by fetching a single scalar, and (c) run a two-point
+    # measurement T(n2)-T(n1) to cancel the constant fetch latency.
     def chained(params, batch, n):
-        img = batch["image"]
-        for _ in range(n):
-            b = dict(batch, image=img)
-            out = fn(params, b)
-            img = out.astype(img.dtype)
-        return img
+        def body(_, img):
+            out = fn(params, dict(batch, image=img))
+            return out.astype(img.dtype)
+
+        return jax.lax.fori_loop(0, n, body, batch["image"])
+
+    jchained = jax.jit(chained)
 
     def timed(n):
         t0 = time.perf_counter()
-        img = jax.jit(chained, static_argnums=2)(params, bench_batch, n)
+        img = jchained(params, bench_batch, n)
         float(jnp.sum(img[0, 0, 0]))  # scalar sync
         return time.perf_counter() - t0
 
     n1, n2 = 1, 6
-    timed(n1), timed(n2)  # compile both
-    timed(n1), timed(n2)  # warm
+    timed(n1), timed(n2)  # compile + warm
     t1 = min(timed(n1) for _ in range(3))
     t2 = min(timed(n2) for _ in range(3))
     per_iter = (t2 - t1) / (n2 - n1)

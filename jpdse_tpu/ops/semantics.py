@@ -81,6 +81,28 @@ def sem_mask(
     return masked.reshape(B, H, W, L * img_nc)
 
 
+def sem_wise_distortion(
+    label: jax.Array, real: jax.Array, fake: jax.Array
+) -> jax.Array:
+    """Per-semantic-class mean L1 distortion diagnostic
+    (pix2pixHD_model.py:646-706): for each one-hot channel, the summed |real -
+    fake| over that class's pixels divided by the class's pixel count; 0 for
+    absent classes.
+
+    NOTE: the reference calls ``sem_mask(input_label, real_image, ...)`` with
+    the (img, label) arguments swapped (:651-652 vs the signature at :417),
+    so its worked-example outputs mix classes across image channels. This
+    implements the *intended* per-class semantics instead (SURVEY.md §2
+    "latent defects" policy).
+
+    label: (B, H, W, L) one-hot; real/fake: (B, H, W, C). Returns (L,).
+    """
+    diff = jnp.sum(jnp.abs(real - fake), axis=-1)  # (B, H, W)
+    num = jnp.einsum("bhwl,bhw->l", label, diff)
+    den = jnp.sum(label, axis=(0, 1, 2))
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+
 def prepare_semantics(
     label: Optional[jax.Array],
     instance: Optional[jax.Array],

@@ -88,3 +88,24 @@ def test_prepare_semantics_concat():
     out3 = prepare_semantics(None, inst, 3, no_label=True)
     assert out3.shape == (1, 4, 4, 1)
     assert prepare_semantics(None, None, 3, True, True) is None
+
+
+def test_sem_wise_distortion_reference_worked_example():
+    """pix2pixHD_model.py:656-703 worked examples, transposed to NHWC."""
+    import jax.numpy as jnp
+    from jpdse_tpu.ops.semantics import sem_wise_distortion
+
+    # images: 1x1x2 spatial, 2 channels; labels 2 classes
+    real = jnp.array([[[[1.0, 3.0], [2.0, 4.0]]]])  # (1,1,2,C=2)
+    fake = jnp.array([[[[0.0, 9.0], [2.0, 11.0]]]])
+    # case 1: class0 covers both pixels, class1 none
+    # per-pixel L1 sums: pixel0 |1-0|+|3-9| = 7, pixel1 |2-2|+|4-11| = 7;
+    # class0 mean = (7+7)/2 = 7 (intended semantics; the reference's printed
+    # values come from its swapped sem_mask args, see ops/semantics.py)
+    label1 = jnp.array([[[[1.0, 0.0], [1.0, 0.0]]]])
+    d1 = sem_wise_distortion(label1, real, fake)
+    np.testing.assert_allclose(np.asarray(d1), [7.0, 0.0])
+    # case 2: class0 -> pixel0, class1 -> pixel1
+    label2 = jnp.array([[[[1.0, 0.0], [0.0, 1.0]]]])
+    d2 = sem_wise_distortion(label2, real, fake)
+    np.testing.assert_allclose(np.asarray(d2), [7.0, 7.0])

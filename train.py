@@ -21,6 +21,7 @@ from jpdse_tpu.cli import parse_config, print_config
 from jpdse_tpu.config import derive_eval_config
 from jpdse_tpu.data import create_dataloader
 from jpdse_tpu.trainer import Trainer
+from jpdse_tpu.utils.logging import MetricsLogger
 from jpdse_tpu.utils.misc import count_params
 from jpdse_tpu.utils.visualizer import HTMLGallery, Visualizer
 
@@ -98,6 +99,7 @@ def main():
     print(f"# trainable params at initialization: {n_params}")
 
     log_file = os.path.join(cfg.save_dir, "loss_log.txt") if cfg.save_dir else None
+    metrics_log = MetricsLogger(cfg.save_dir)
 
     if cfg.load_model:
         trainer.load()
@@ -109,6 +111,7 @@ def main():
         start = time.time()
         for i, batch in enumerate(loader):
             metrics = trainer.step(batch)
+            metrics_log.log(trainer.steps_taken, metrics, epoch=epoch)
             end = time.time()
             print(
                 "g_gan: {G_GAN:.4f}, g_gan_feat_match: {G_GAN_Feat:.4f}, "
@@ -126,6 +129,7 @@ def main():
 
         if not (epoch + 1) % cfg.optim.val_interval:
             avg = validate(trainer, val_loader, log_file, cfg)
+            metrics_log.log(trainer.steps_taken, {"avg_val_distortion": avg}, epoch=epoch)
             if cfg.optim.schedule_lr:
                 trainer.scheduler_step(avg)
             if cfg.always_save or (avg < trainer.best_val_loss and cfg.save_dir):
