@@ -24,9 +24,23 @@ CITYSCAPES_COLORS = np.array(
 )
 
 
+# COCO-stuff: a handful of semantically important stuff classes get fixed
+# natural colors instead of the procedural palette (misc.py:248-259);
+# ids per the COCO-stuff label map (sea=155, sky-other=157, tree=169,
+# clouds=106, grass=124).
+COCO_COLOR_OVERRIDES = {
+    155: (54, 62, 167),  # sea
+    157: (95, 219, 255),  # sky-other
+    169: (140, 104, 47),  # tree
+    106: (170, 170, 170),  # clouds
+    124: (29, 195, 49),  # grass
+}
+
+
 def label_colormap(n: int) -> np.ndarray:
     """(n, 3) uint8 colormap; the Cityscapes palette for n==35, else the
-    procedural bit-reversal palette (misc.py:229-247)."""
+    procedural bit-reversal palette (misc.py:229-247), with the COCO-stuff
+    natural-color overrides when n==182."""
     if n == 35:
         return CITYSCAPES_COLORS.copy()
     cmap = np.zeros((n, 3), dtype=np.uint8)
@@ -40,6 +54,9 @@ def label_colormap(n: int) -> np.ndarray:
             b ^= bits[2] << (7 - j)
             idx >>= 3
         cmap[i] = (r, g, b)
+    if n == 182:
+        for i, color in COCO_COLOR_OVERRIDES.items():
+            cmap[i] = color
     return cmap
 
 

@@ -16,8 +16,13 @@ import json
 import os
 import time
 
-import jax.numpy as jnp
 import numpy as np
+
+from jpdse_tpu.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
+import jax.numpy as jnp
 
 from jpdse_tpu.cli import parse_config, print_config
 from jpdse_tpu.config import derive_eval_config
@@ -46,7 +51,11 @@ def add_noise(batch, cfg, rng):
 
 def main():
     cfg = parse_config(is_train=False)
-    cfg = derive_eval_config(cfg, mode="test")
+    # evaluate on the split the user asked for (--mode val evaluates the val
+    # split; default is the test split)
+    eval_mode = cfg.mode if cfg.mode in ("val", "test") else "test"
+    cfg = derive_eval_config(cfg, mode=eval_mode)
+    cfg.mode = eval_mode
     print("\ntest options:\n")
     print_config(cfg)
 

@@ -1,0 +1,66 @@
+"""End-to-end CLI smoke test: run the real train.py and test.py as
+subprocesses on the bundled Cityscapes subset (tiny model, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+CITYSCAPES_ROOT = "/root/reference/datasets/cityscapes_test_CVPR20_1024"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CITYSCAPES_ROOT), reason="bundled cityscapes subset not present"
+)
+
+TINY = (
+    "--dataset cityscapes --root_dir {root} --model pix2pixHD "
+    "--no_label_encoding --no_feat_encoding --no_generator_binarization "
+    "--preprocess_mode fixed --load_size 128 --crop_size 128 "
+    "--val_preprocess_mode fixed --val_load_size 128 --val_crop_size 128 "
+    "--test_preprocess_mode fixed --test_load_size 128 --test_crop_size 128 "
+    "--ngf 8 --ndf 8 --n_downsample_global 2 --n_blocks_global 1 --num_D 2 "
+    "--batch_size 2 --max_dataset_size 4 --no_vgg_loss --seed 0 --mode val "
+)
+
+
+def run(script, args, timeout=900):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script)] + args.split(),
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_train_then_test_cli(tmp_path):
+    save = tmp_path / "run"
+    r = run(
+        "train.py",
+        TINY.format(root=CITYSCAPES_ROOT)
+        + f"--num_epochs 1 --always_save --save_dir {save}",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (save / "opt.json").exists()
+    assert (save / "loss_log.txt").exists()
+    assert (save / "metrics.jsonl").exists()
+    assert (save / "params").exists()  # orbax checkpoint
+    assert (save / "train_visualizations" / "index.html").exists()
+
+    out = tmp_path / "out"
+    r2 = run(
+        "test.py",
+        f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
+        f"--save_dir {out} --root_dir {CITYSCAPES_ROOT} --mode val "
+        f"--max_dataset_size 2 --do_not_get_codes",
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert 0 < metrics["PSNR"] < 60
+    assert 0 <= metrics["MS-SSIM"] <= 1
+    assert (out / "test_visualizations" / "index.html").exists()

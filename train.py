@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+from jpdse_tpu.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 from jpdse_tpu.cli import parse_config, print_config
 from jpdse_tpu.config import derive_eval_config
 from jpdse_tpu.data import create_dataloader
