@@ -56,11 +56,17 @@ def make_train_step(
     disc,
     vgg_apply: Optional[Callable] = None,
     donate: bool = True,
+    freeze_global: bool = False,
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     ``vgg_apply(x)->features`` closes over frozen VGG params (the reference's
     criterionVGG; networks.py:124-139). Pass None when loss.no_vgg_loss.
+
+    ``freeze_global`` zeroes the global-generator trunk's gradients — the
+    niter_fix_global phase when training local enhancers
+    (pix2pixHD_model.py:251-268: only enhancer params enter optimizer_G until
+    update_fixed_params re-adds the trunk).
     """
     L = cfg.loss
     opt_g, opt_d = make_optimizers(cfg)
@@ -165,6 +171,12 @@ def make_train_step(
             loss_d = jnp.asarray(0.0, jnp.float32)
             l_real = l_fake = loss_d
             grads_d = jax.tree.map(jnp.zeros_like, state.params_d)
+
+        if freeze_global and "netG" in grads_g and "global" in grads_g["netG"]:
+            grads_g = dict(grads_g)
+            netg = dict(grads_g["netG"])
+            netg["global"] = jax.tree.map(jnp.zeros_like, netg["global"])
+            grads_g["netG"] = netg
 
         updates_g, new_os_g = opt_g.update(grads_g, state.opt_state_g, state.params_g)
         new_params_g = optax.apply_updates(state.params_g, updates_g)

@@ -38,6 +38,9 @@ def device_batch(batch: Dict) -> Dict:
 
 class Trainer:
     def __init__(self, cfg: Config, mode: str = "train", sample_batch: Optional[Dict] = None):
+        if cfg.optim.fp16 and cfg.model.compute_dtype == "float32":
+            # the reference's apex-AMP flag; the TPU analog is bf16 compute
+            cfg.model.compute_dtype = "bfloat16"
         self.cfg = cfg
         self.mode = mode
         self.codec = SemanticCodec(cfg)
@@ -85,8 +88,17 @@ class Trainer:
         if mode == "train" and not cfg.loss.no_vgg_loss:
             vgg_model, vgg_vars = init_vgg19(0, cfg.loss.vgg_weights_path)
             vgg_apply = lambda x: vgg_model.apply(vgg_vars, x)  # noqa: E731
+        self._vgg_apply = vgg_apply
+        self._global_frozen = (
+            mode == "train"
+            and cfg.model.netG == "local"
+            and cfg.model.niter_fix_global > 0
+        )
         self._train_step = (
-            make_train_step(cfg, self.codec, self.disc, vgg_apply)
+            make_train_step(
+                cfg, self.codec, self.disc, vgg_apply,
+                freeze_global=self._global_frozen,
+            )
             if mode == "train"
             else None
         )
@@ -157,6 +169,17 @@ class Trainer:
                 shannon_total += float(s)
                 actual_total += float(a)
         return shannon_total / b, actual_total / b
+
+    def maybe_unfreeze_global(self, epoch: int):
+        """After niter_fix_global epochs of enhancer-only training, also start
+        fine-tuning the global trunk (update_fixed_params,
+        pix2pixHD_model.py:795-804)."""
+        if self._global_frozen and epoch >= self.cfg.model.niter_fix_global:
+            print("------------ now also finetuning global generator -----------")
+            self._global_frozen = False
+            self._train_step = make_train_step(
+                self.cfg, self.codec, self.disc, self._vgg_apply, freeze_global=False
+            )
 
     def scheduler_step(self, val_loss: float):
         if self.sched is not None:

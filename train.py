@@ -111,6 +111,7 @@ def main():
         validate(trainer, val_loader, log_file, cfg)
 
     for epoch in range(trainer.start_epoch, trainer.start_epoch + cfg.optim.num_epochs):
+        trainer.maybe_unfreeze_global(epoch)
         loader.set_epoch(epoch)
         start = time.time()
         for i, batch in enumerate(loader):
