@@ -308,6 +308,16 @@ class Config:
         return d.semantic_nc + (0 if m.no_instance else 1)
 
     @property
+    def has_binary_codes(self) -> bool:
+        """Whether any module produces a binary bottleneck code."""
+        m = self.model
+        return (
+            (self.use_netE4label and not m.no_label_encoder_binarization)
+            or (self.use_netE and not m.no_encoder_binarization)
+            or (not m.no_generator_binarization)
+        )
+
+    @property
     def use_netE(self) -> bool:
         m = self.model
         return (not m.no_feat) and (not m.no_feat_encoding)

@@ -97,6 +97,8 @@ class DataLoader:
                             return
                         samples = list(pool.map(load_one, batch_idx))
                         q.put(collate(samples))
+                except BaseException as e:  # forward worker errors to consumer
+                    q.put(e)
                 finally:
                     q.put(None)
 
@@ -107,6 +109,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

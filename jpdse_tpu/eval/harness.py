@@ -43,7 +43,9 @@ def evaluate(
     gallery=None,
 ) -> Dict[str, float]:
     """Run the full evaluation; returns per-image-averaged metrics."""
-    get_codes = not cfg.do_not_get_codes
+    get_codes = not cfg.do_not_get_codes and cfg.has_binary_codes
+    if not cfg.do_not_get_codes and not cfg.has_binary_codes:
+        print("note: no binarized module in this configuration; skipping code dumps")
     if get_codes and cfg.save_dir:
         os.makedirs(os.path.join(cfg.save_dir, "codes"), exist_ok=True)
 

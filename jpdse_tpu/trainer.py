@@ -41,6 +41,7 @@ class Trainer:
         if cfg.optim.fp16 and cfg.model.compute_dtype == "float32":
             # the reference's apex-AMP flag; the TPU analog is bf16 compute
             cfg.model.compute_dtype = "bfloat16"
+        cfg.validate()  # fail with a clean message before any tracing
         self.cfg = cfg
         self.mode = mode
         self.codec = SemanticCodec(cfg)
