@@ -80,3 +80,43 @@ def test_l1_mse():
     a, b = jnp.zeros(4), jnp.asarray([1.0, -1.0, 2.0, -2.0])
     assert float(l1(a, b)) == 1.5
     assert float(mse(a, b)) == 2.5
+
+
+def test_ms_ssim_against_numpy_golden(rng):
+    """Cross-check single-scale SSIM against a direct numpy implementation."""
+    import numpy as np
+
+    def gauss(ws, sigma):
+        g = np.exp(-((np.arange(ws) - ws // 2) ** 2) / (2 * sigma**2))
+        return g / g.sum()
+
+    def blur(x, w):  # zero-padded separable filter, HW image
+        pad = len(w) // 2
+        xp = np.pad(x, ((pad, pad), (0, 0)))
+        out = np.zeros_like(x)
+        for i in range(x.shape[0]):
+            out[i] = sum(w[k] * xp[i + k] for k in range(len(w)))
+        xp = np.pad(out, ((0, 0), (pad, pad)))
+        out2 = np.zeros_like(x)
+        for j in range(x.shape[1]):
+            out2[:, j] = sum(w[k] * xp[:, j + k] for k in range(len(w)))
+        return out2
+
+    ws, sigma, L = 11, 1.5, 255.0
+    w = gauss(ws, sigma)
+    a = (rng.random((40, 48)) * 255).astype(np.float64)
+    b = np.clip(a + rng.normal(scale=20, size=a.shape), 0, 255).astype(np.float64)
+    c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    mu_a, mu_b = blur(a, w), blur(b, w)
+    sa = blur(a * a, w) - mu_a**2
+    sb = blur(b * b, w) - mu_b**2
+    sab = blur(a * b, w) - mu_a * mu_b
+    golden = np.mean(
+        ((2 * mu_a * mu_b + c1) * (2 * sab + c2))
+        / ((mu_a**2 + mu_b**2 + c1) * (sa + sb + c2))
+    )
+    ours, _ = ssim(
+        jnp.asarray(a[None, :, :, None], jnp.float32),
+        jnp.asarray(b[None, :, :, None], jnp.float32),
+    )
+    assert abs(float(ours) - golden) < 1e-4
