@@ -90,3 +90,33 @@ def test_data_parallel_only_mesh(rng):
     new_state, metrics = sharded(state, batch8, jax.random.PRNGKey(0))
     assert int(new_state.steps_taken) == 1
     assert np.isfinite(float(metrics["loss_G"]))
+
+
+def test_sharded_inference_matches_single_device(rng):
+    """Multi-chip serving: H-sharded decode equals single-device decode."""
+    from jpdse_tpu.parallel.mesh import make_sharded_infer
+    from jpdse_tpu.train.step import make_infer_fn
+    from tests.test_codec_model import init_codec, tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg(
+        no_label_encoding=True, no_feat_encoding=True, no_generator_binarization=True
+    )
+    batch = tiny_batch(rng, b=4)
+    codec, params_g, _ = init_codec(cfg, batch)
+    infer = make_infer_fn(cfg, codec)
+    single = infer(params_g, batch)
+    mesh = make_mesh(4, 2)
+    sharded = make_sharded_infer(infer, mesh)
+    multi = sharded(params_g, batch)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi), atol=2e-5)
+
+
+def test_prefetch_to_device(rng):
+    from jpdse_tpu.data.prefetch import prefetch_to_device
+    from tests.test_codec_model import tiny_batch
+
+    batches = [tiny_batch(rng) for _ in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for a, b in zip(batches, out):
+        np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
