@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from jpdse_tpu.models.layers import instance_norm as _jnp_instance_norm
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # bytes reserved for the input slab
+# bytes for the input slab; the kernel holds input + f32 working copy +
+# output simultaneously (~4x the slab) against the ~16MB VMEM budget
+_VMEM_BUDGET = 1024 * 1024
 
 
 def pallas_supported() -> bool:
@@ -32,13 +34,12 @@ def pallas_supported() -> bool:
 
 
 def _channel_tile(h: int, w: int, c: int, itemsize: int) -> int:
-    per_ch = h * w * itemsize
-    if per_ch > _VMEM_BUDGET:
-        return 0  # slab too big; fall back
-    ct = max(1, _VMEM_BUDGET // per_ch)
-    while c % ct:
-        ct -= 1
-    return ct
+    """Pick a channel-tile size: Mosaic requires the last block dim be a
+    multiple of 128 or the full channel extent. Returns 0 when no valid tile
+    fits the VMEM slab budget (caller falls back to the jnp path)."""
+    candidates = [c] + [m for m in range(128, c, 128) if c % m == 0]
+    fits = [ct for ct in candidates if h * w * ct * itemsize <= _VMEM_BUDGET]
+    return max(fits) if fits else 0
 
 
 def _kernel(relu: bool, has_res: bool, eps: float, *refs):
