@@ -231,6 +231,7 @@ class Config:
     do_not_get_codes: bool = False
     display_winsize: int = 512
     tf_log: bool = False  # kept for CLI parity; logging is always-on here
+    profile_dir: Optional[str] = None  # jax.profiler trace output (xprof)
 
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -78,6 +78,27 @@ def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer):
         gallery.save()
 
 
+def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
+    start = time.time()
+    for i, batch in enumerate(loader):
+        metrics = trainer.step(batch)
+        metrics_log.log(trainer.steps_taken, metrics, epoch=epoch)
+        end = time.time()
+        print(
+            "g_gan: {G_GAN:.4f}, g_gan_feat_match: {G_GAN_Feat:.4f}, "
+            "g_vgg: {G_VGG:.4f}, g_distortion: {G_Distortion:.4f}, "
+            "d_real: {D_real:.4f}, d_fake: {D_fake:.4f}".format(**metrics)
+        )
+        log(
+            f"epoch {epoch + 1}/{trainer.start_epoch + cfg.optim.num_epochs}, "
+            f"batch {i + 1}/{len(loader)}, distortion "
+            f"({cfg.loss.distortion_loss_fn}) {metrics['G_Distortion']:.4f}, "
+            f"batch processing time (s) {end - start:.4f}",
+            log_file,
+        )
+        start = time.time()
+
+
 def main():
     cfg = parse_config(is_train=True)
     val_cfg = derive_eval_config(cfg, mode="val")
@@ -110,27 +131,22 @@ def main():
         # validate to confirm the load (reference train.py:51-76)
         validate(trainer, val_loader, log_file, cfg)
 
+    from jpdse_tpu.utils.profiling import trace
+
+    profiled_first_epoch = False
     for epoch in range(trainer.start_epoch, trainer.start_epoch + cfg.optim.num_epochs):
         trainer.maybe_unfreeze_global(epoch)
         loader.set_epoch(epoch)
         start = time.time()
-        for i, batch in enumerate(loader):
-            metrics = trainer.step(batch)
-            metrics_log.log(trainer.steps_taken, metrics, epoch=epoch)
-            end = time.time()
-            print(
-                "g_gan: {G_GAN:.4f}, g_gan_feat_match: {G_GAN_Feat:.4f}, "
-                "g_vgg: {G_VGG:.4f}, g_distortion: {G_Distortion:.4f}, "
-                "d_real: {D_real:.4f}, d_fake: {D_fake:.4f}".format(**metrics)
-            )
-            log(
-                f"epoch {epoch + 1}/{trainer.start_epoch + cfg.optim.num_epochs}, "
-                f"batch {i + 1}/{len(loader)}, distortion "
-                f"({cfg.loss.distortion_loss_fn}) {metrics['G_Distortion']:.4f}, "
-                f"batch processing time (s) {end - start:.4f}",
-                log_file,
-            )
-            start = time.time()
+        # capture a jax.profiler trace of the first trained epoch when asked
+        profile_ctx = (
+            trace(cfg.profile_dir)
+            if (cfg.profile_dir and not profiled_first_epoch)
+            else trace(None)
+        )
+        profiled_first_epoch = True
+        with profile_ctx:
+            _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file)
 
         if not (epoch + 1) % cfg.optim.val_interval:
             avg = validate(trainer, val_loader, log_file, cfg)
