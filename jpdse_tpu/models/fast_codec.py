@@ -13,6 +13,11 @@ unchanged.
 Supports the GlobalGenerator / Encoder family (netG 'global', no grouped
 convs, no instance-wise pooling). Anything else falls back to the standard
 module.
+
+NOTE: pass **host** (numpy / CPU-backend) params. The constructor reads every
+weight with np.asarray to run the transforms; device-resident params would
+force a full device->host transfer first (prohibitive over the axon relay,
+whose downloads run ~100KB/s).
 """
 
 from __future__ import annotations
