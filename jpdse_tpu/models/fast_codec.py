@@ -66,130 +66,139 @@ class _FastTrunk:
         def conv_wb(node):
             return _np(node["conv"]["kernel"]), _np(node["conv"]["bias"])
 
+        # weights live in a flat dict PyTree passed through jit as an ARGUMENT
+        # (closure-captured arrays get baked into the serialized compile
+        # payload, which the remote-compile relay rejects for ~180MB graphs)
+        w: Dict[str, Any] = {}
         w7, b7 = conv_wb(p["head"]["conv"])
-        self.head_w = jnp.asarray(conv_s1_weights_to_s2d(w7), dtype)
-        self.head_b = jnp.asarray(_tile4(b7), dtype)
+        w["head_w"] = jnp.asarray(conv_s1_weights_to_s2d(w7), dtype)
+        w["head_b"] = jnp.asarray(_tile4(b7), dtype)
 
         w_d0, b_d0 = conv_wb(p["down0"]["conv"])
-        self.down0_w = jnp.asarray(conv_s2_weights_from_s2d_nopad(w_d0), dtype)
-        self.down0_b = jnp.asarray(b_d0, dtype)
+        w["down0_w"] = jnp.asarray(conv_s2_weights_from_s2d_nopad(w_d0), dtype)
+        w["down0_b"] = jnp.asarray(b_d0, dtype)
 
-        self.down = []
         for i in range(1, n_down):
-            w, b = conv_wb(p[f"down{i}"]["conv"])
-            self.down.append((jnp.asarray(w, dtype), jnp.asarray(b, dtype)))
+            wi, bi = conv_wb(p[f"down{i}"]["conv"])
+            w[f"down{i}_w"] = jnp.asarray(wi, dtype)
+            w[f"down{i}_b"] = jnp.asarray(bi, dtype)
+        self.n_mid_down = n_down - 1
 
-        self.res = []
+        self.n_res = 0
         for i in range(n_blocks):
             blk = p.get(f"res{i}")
             if blk is None:
                 break
             w1, b1 = conv_wb(blk["conv1"])
             w2, b2 = conv_wb(blk["conv2"])
-            self.res.append(
-                (jnp.asarray(w1, dtype), jnp.asarray(b1, dtype),
-                 jnp.asarray(w2, dtype), jnp.asarray(b2, dtype))
-            )
+            w[f"res{i}_w1"] = jnp.asarray(w1, dtype)
+            w[f"res{i}_b1"] = jnp.asarray(b1, dtype)
+            w[f"res{i}_w2"] = jnp.asarray(w2, dtype)
+            w[f"res{i}_b2"] = jnp.asarray(b2, dtype)
+            self.n_res += 1
 
-        self.up = []
         for i in range(n_down - 1):
-            w = _np(p[f"up{i}"]["deconv"]["kernel"])
-            b = _np(p[f"up{i}"]["deconv"]["bias"])
-            self.up.append((jnp.asarray(w, dtype), jnp.asarray(b, dtype)))
+            w[f"up{i}_w"] = jnp.asarray(_np(p[f"up{i}"]["deconv"]["kernel"]), dtype)
+            w[f"up{i}_b"] = jnp.asarray(_np(p[f"up{i}"]["deconv"]["bias"]), dtype)
+        self.n_mid_up = n_down - 1
 
         # last upsample: transformed to produce s2d output
         wl = _np(p[f"up{n_down - 1}"]["deconv"]["kernel"])
         bl = _np(p[f"up{n_down - 1}"]["deconv"]["bias"])
         g = np.flip(wl, axis=(0, 1))  # effective correlation kernel
-        self.uplast_w = jnp.asarray(convT_s2_weights_to_s2d(g), dtype)
-        self.uplast_b = jnp.asarray(_tile4(bl), dtype)
+        w["uplast_w"] = jnp.asarray(convT_s2_weights_to_s2d(g), dtype)
+        w["uplast_b"] = jnp.asarray(_tile4(bl), dtype)
 
         wt = _np(p["tail"]["conv"]["kernel"])
         bt = _np(p["tail"]["conv"]["bias"])
-        self.tail_w = jnp.asarray(conv_s1_weights_to_s2d(wt), dtype)
-        self.tail_b = jnp.asarray(_tile4(bt), dtype)
+        w["tail_w"] = jnp.asarray(conv_s1_weights_to_s2d(wt), dtype)
+        w["tail_b"] = jnp.asarray(_tile4(bt), dtype)
 
         if binarize != "none":
-            self.bin_w = jnp.asarray(_np(p["binarizer"]["conv"]["kernel"]), dtype)
-        else:
-            self.bin_w = None
+            w["bin_w"] = jnp.asarray(_np(p["binarizer"]["conv"]["kernel"]), dtype)
+        self.weights = w
 
-    # -- stages ---------------------------------------------------------
-    def front(self, x: jax.Array) -> jax.Array:
+    # -- stages (weights passed explicitly; see __init__ note) -----------
+    def front(self, w: Dict, x: jax.Array) -> jax.Array:
         """fine input -> normal-domain tensor after down0 (H/2, W/2, C1)."""
         x = x.astype(self.dtype)
         xp = space_to_depth(reflect_pad(x, 3))
-        h = conv_valid(xp, self.head_w) + self.head_b
+        h = conv_valid(xp, w["head_w"]) + w["head_b"]
         h = jax.nn.relu(instance_norm_s2d(h))
         h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
-        h = conv_valid(h, self.down0_w) + self.down0_b
+        h = conv_valid(h, w["down0_w"]) + w["down0_b"]
         return jax.nn.relu(instance_norm(h))
 
-    def mid_down(self, h: jax.Array) -> jax.Array:
-        for w, b in self.down:
+    def mid_down(self, w: Dict, h: jax.Array) -> jax.Array:
+        for i in range(1, self.n_mid_down + 1):
             hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            h = conv_valid(hp, w, stride=2) + b
+            h = conv_valid(hp, w[f"down{i}_w"], stride=2) + w[f"down{i}_b"]
             h = jax.nn.relu(instance_norm(h))
         return h
 
-    def apply_binarizer(self, h: jax.Array) -> jax.Array:
-        h = conv_valid(h, self.bin_w)
+    def apply_binarizer(self, w: Dict, h: jax.Array) -> jax.Array:
+        h = conv_valid(h, w["bin_w"])
         return jnp.sign(jnp.tanh(h)).astype(self.dtype)
 
-    def res_blocks(self, h: jax.Array) -> jax.Array:
-        for w1, b1, w2, b2 in self.res:
-            r = conv_valid(reflect_pad(h, 1), w1) + b1
+    def res_blocks(self, w: Dict, h: jax.Array) -> jax.Array:
+        for i in range(self.n_res):
+            r = conv_valid(reflect_pad(h, 1), w[f"res{i}_w1"]) + w[f"res{i}_b1"]
             r = jax.nn.relu(instance_norm(r))
-            r = conv_valid(reflect_pad(r, 1), w2) + b2
+            r = conv_valid(reflect_pad(r, 1), w[f"res{i}_w2"]) + w[f"res{i}_b2"]
             h = h + instance_norm(r)
         return h
 
-    def mid_up(self, h: jax.Array) -> jax.Array:
-        for w, b in self.up:
+    def mid_up(self, w: Dict, h: jax.Array) -> jax.Array:
+        for i in range(self.n_mid_up):
+            wk, bk = w[f"up{i}_w"], w[f"up{i}_b"]
             dn = jax.lax.conv_dimension_numbers(
-                h.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+                h.shape, wk.shape, ("NHWC", "HWIO", "NHWC")
             )
             h = jax.lax.conv_general_dilated(
-                h, jnp.flip(w, axis=(0, 1)), (1, 1), ((1, 2), (1, 2)),
+                h, jnp.flip(wk, axis=(0, 1)), (1, 1), ((1, 2), (1, 2)),
                 lhs_dilation=(2, 2), dimension_numbers=dn,
-            ) + b
+            ) + bk
             h = jax.nn.relu(instance_norm(h))
         return h
 
-    def back(self, h: jax.Array) -> jax.Array:
+    def back(self, w: Dict, h: jax.Array) -> jax.Array:
         """normal-domain (H/2, W/2, Clast) -> fine output with tanh."""
         hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        y = conv_valid(hp, self.uplast_w) + self.uplast_b
+        y = conv_valid(hp, w["uplast_w"]) + w["uplast_b"]
         y = jax.nn.relu(instance_norm_s2d(y))
         y_fine = depth_to_space(y)
         yp = space_to_depth(reflect_pad(y_fine, 3))
-        out = jnp.tanh(conv_valid(yp, self.tail_w) + self.tail_b)
+        out = jnp.tanh(conv_valid(yp, w["tail_w"]) + w["tail_b"])
         return depth_to_space(out)
 
     # -- full passes ----------------------------------------------------
-    def __call__(self, x: jax.Array) -> jax.Array:
-        h = self.mid_down(self.front(x))
-        if self.binarize == "before_res":
-            h = self.apply_binarizer(h)
-        if self.binarize == "mid":
-            h = self.apply_binarizer(h)
-        h = self.res_blocks(h)
+    def __call__(self, w: Dict, x: jax.Array) -> jax.Array:
+        h = self.mid_down(w, self.front(w, x))
+        if self.binarize in ("before_res", "mid"):
+            h = self.apply_binarizer(w, h)
+        h = self.res_blocks(w, h)
         if self.binarize == "after_res":
-            h = self.apply_binarizer(h)
-        return self.back(self.mid_up(h))
+            h = self.apply_binarizer(w, h)
+        return self.back(w, self.mid_up(w, h))
 
-    def encode(self, x: jax.Array) -> jax.Array:
+    def encode(self, w: Dict, x: jax.Array) -> jax.Array:
         if self.binarize == "none":
             raise ValueError("no binarizer in this trunk")
-        h = self.mid_down(self.front(x))
+        h = self.mid_down(w, self.front(w, x))
         if self.binarize in ("before_res", "mid"):
-            return self.apply_binarizer(h)
-        h = self.res_blocks(h)
-        return self.apply_binarizer(h)
+            return self.apply_binarizer(w, h)
+        h = self.res_blocks(w, h)
+        return self.apply_binarizer(w, h)
 
 
 class FastCodec:
-    """Optimized deterministic inference over trained SemanticCodec params."""
+    """Optimized deterministic inference over trained SemanticCodec params.
+
+    Usage (weights are an explicit PyTree so jit serializes no constants):
+        fast = FastCodec(cfg, host_params)
+        out = jax.jit(fast.decode_fn)(fast.weights, batch)
+    ``decode(batch)`` is the convenience form (jits internally).
+    """
 
     def __init__(self, cfg: Config, params_g: Dict, dtype=None):
         m = cfg.model
@@ -217,8 +226,15 @@ class FastCodec:
                 params_g["netE4label"], m.n_downsample_E4label, 0,
                 "mid" if not m.no_label_encoder_binarization else "none", dtype,
             )
+        self.weights = {"netG": self.netG.weights}
+        if self.netE is not None:
+            self.weights["netE"] = self.netE.weights
+        if self.netE4label is not None:
+            self.weights["netE4label"] = self.netE4label.weights
+        self._jit_decode = None
 
-    def decode(self, batch: Dict[str, jax.Array]) -> jax.Array:
+    def decode_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Pure function of (weights, batch) — jit this."""
         cfg, m = self.cfg, self.cfg.model
         inputs = prepare_inputs(
             cfg, batch.get("label"), batch.get("instance"), batch["image"],
@@ -227,10 +243,10 @@ class FastCodec:
         input_label = inputs["input_label"]
         vis = inputs["compressed_img"] if cfg.codec.use_compressed else inputs["real_image"]
         if self.netE4label is not None:
-            input_label = self.netE4label(input_label)
+            input_label = self.netE4label(weights["netE4label"], input_label)
         feat = None
         if not m.no_feat:
-            feat = self.netE(vis) if self.netE is not None else vis
+            feat = self.netE(weights["netE"], vis) if self.netE is not None else vis
         if feat is None:
             concat = input_label
         elif input_label is None:
@@ -239,9 +255,14 @@ class FastCodec:
             concat = jnp.concatenate(
                 [input_label, feat.astype(input_label.dtype)], axis=-1
             )
-        return self.netG(concat)
+        return self.netG(weights["netG"], concat)
 
-    def get_codes(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
+    def decode(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        if self._jit_decode is None:
+            self._jit_decode = jax.jit(self.decode_fn)
+        return self._jit_decode(self.weights, batch)
+
+    def codes_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> List[jax.Array]:
         cfg, m = self.cfg, self.cfg.model
         inputs = prepare_inputs(
             cfg, batch.get("label"), batch.get("instance"), batch["image"],
@@ -253,8 +274,13 @@ class FastCodec:
             return (c.reshape(c.shape[0], -1) + 1.0) / 2.0
 
         if self.netE4label is not None and not m.no_label_encoder_binarization:
-            codes.append(flat01(self.netE4label.encode(inputs["input_label"])))
+            codes.append(
+                flat01(self.netE4label.encode(weights["netE4label"], inputs["input_label"]))
+            )
         vis = inputs["compressed_img"] if cfg.codec.use_compressed else inputs["real_image"]
         if self.netE is not None and not m.no_encoder_binarization:
-            codes.append(flat01(self.netE.encode(vis)))
+            codes.append(flat01(self.netE.encode(weights["netE"], vis)))
         return codes
+
+    def get_codes(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
+        return self.codes_fn(self.weights, batch)
