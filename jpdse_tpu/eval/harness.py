@@ -58,6 +58,8 @@ def evaluate(
     n_images = 0
     start = time.time()
 
+    coder_warned = False
+    coder_ok = True
     for i, batch in enumerate(loader):
         if cfg.data.add_noise:
             batch = add_noise(batch, cfg, rng)
@@ -68,6 +70,10 @@ def evaluate(
             totals["actual_bpp"] += actual_bpp * batch["image"].shape[0]
 
         recon = trainer.get_img(batch)
+        codes = contexts = None
+        if get_codes and cfg.save_dir:
+            # one device call for the whole batch (not per image)
+            codes, contexts = trainer.get_code_and_contexts(batch)
         for j in range(recon.shape[0]):
             if visualizer is not None and gallery is not None:
                 visuals = {}
@@ -77,26 +83,36 @@ def evaluate(
                 visuals["reconstructed_image"] = recon[j]
                 visualizer.save_images(gallery, visuals, batch["path"][j])
 
-            if get_codes and cfg.save_dir:
-                codes = trainer.get_code(batch)
+            if codes is not None:
                 base = os.path.splitext(os.path.basename(batch["path"][j]))[0]
                 code_path = os.path.join(cfg.save_dir, "codes", base + "_code")
                 with open(code_path, "wb") as f:
-                    f.write(np.asarray(codes[j]).astype(np.uint8).tobytes())
-                # real entropy-coded bitstream (reference only dumped one raw
-                # byte per bit and *estimated* rate)
+                    f.write(codes[j].astype(np.uint8).tobytes())
+                # real entropy-coded bitstream with per-channel adaptive
+                # contexts (reference only dumped one raw byte per bit and
+                # *estimated* rate, pix2pixHD_model.py:480-489)
                 try:
                     from jpdse_tpu import native
 
-                    stream = native.entropy_encode(np.asarray(codes[j]).astype(np.uint8))
+                    stream = native.entropy_encode(
+                        codes[j].astype(np.uint8), contexts=contexts
+                    )
                     with open(code_path + ".rc", "wb") as f:
                         f.write(stream)
                     h, w = batch["image"].shape[1:3]
                     totals["coded_bpp"] = (
                         totals.get("coded_bpp", 0.0) + len(stream) * 8.0 / (h * w)
                     )
-                except Exception:
-                    pass
+                except Exception as e:
+                    coder_ok = False
+                    if not coder_warned:
+                        coder_warned = True
+                        import warnings
+
+                        warnings.warn(
+                            f"native entropy coder unavailable ({type(e).__name__}: "
+                            f"{e}); .rc bitstreams and coded_bpp will be missing"
+                        )
         if gallery is not None:
             gallery.save()
 
@@ -121,6 +137,10 @@ def evaluate(
         )
         start = time.time()
 
+    if not coder_ok:
+        totals.pop("coded_bpp", None)  # partial sums would under-report rate
     avgs = {k: v / max(n_images, 1) for k, v in totals.items()}
+    if not coder_ok:
+        avgs["coded_bpp"] = None
     avgs["n_images"] = n_images
     return avgs

@@ -204,11 +204,19 @@ class SemanticCodec(nn.Module):
     def get_codes(self, inputs, deterministic: bool = True) -> List[jax.Array]:
         """Binary codes from every binarized module, flattened to (B, n_bits)
         in {0,1} (pix2pixHD_model.py:548-618: (code+1)/2)."""
+        return [
+            c.reshape(c.shape[0], -1)
+            for c in self.get_codes_shaped(inputs, deterministic=deterministic)
+        ]
+
+    def get_codes_shaped(self, inputs, deterministic: bool = True) -> List[jax.Array]:
+        """Binary codes in their native (B, h, w, C) layout, in {0,1} — the
+        channel axis feeds the entropy coder's per-channel context model."""
         cfg, m = self.cfg, self.cfg.model
         codes = []
 
         def flat01(c):
-            return (c.reshape(c.shape[0], -1) + 1.0) / 2.0
+            return (c + 1.0) / 2.0
 
         if cfg.use_netE4label and not m.no_label_encoder_binarization:
             codes.append(

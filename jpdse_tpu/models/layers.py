@@ -25,6 +25,12 @@ import flax.linen as nn
 conv_init = nn.initializers.normal(stddev=0.02)
 
 
+def batchnorm_gamma_init(key, shape, dtype=jnp.float32):
+    """weights_init for BatchNorm gamma: normal(mean=1.0, std=0.02)
+    (networks.py:22-24 — `m.weight.data.normal_(1.0, 0.02)`)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
 def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
     """nn.ReflectionPad2d(pad), NHWC."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
@@ -58,7 +64,7 @@ class Norm(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,
-                scale_init=nn.initializers.normal(0.02, dtype=jnp.float32),
+                scale_init=batchnorm_gamma_init,
             )(x)
         if self.kind == "identity":
             return x

@@ -93,19 +93,20 @@ def make_sharded_train_step(step_fn, mesh: Mesh, shard_spatial: bool = True):
 
 
 def make_sharded_infer(infer_fn, mesh: Mesh, shard_spatial: bool = True):
-    """Wrap an (params, batch) -> image inference fn with mesh shardings —
-    multi-chip batch/spatial-parallel serving (params replicated, activations
-    H-sharded; GSPMD handles the conv halos)."""
+    """Wrap an (params, mstate, batch) -> image inference fn with mesh
+    shardings — multi-chip batch/spatial-parallel serving (params replicated,
+    activations H-sharded; GSPMD handles the conv halos)."""
     repl = replicated(mesh)
 
-    def sharded(params, batch):
+    def sharded(params, mstate, batch):
         params = jax.device_put(params, repl)
+        mstate = jax.device_put(mstate, repl) if mstate else mstate
         batch = {
             k: jax.device_put(
                 np.asarray(v), batch_sharding(mesh, np.asarray(v).ndim, shard_spatial)
             )
             for k, v in batch.items()
         }
-        return infer_fn(params, batch)
+        return infer_fn(params, mstate, batch)
 
     return sharded

@@ -38,6 +38,10 @@ def save_checkpoint(
     os.makedirs(save_dir, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     params = {"params_g": state.params_g, "params_d": state.params_d}
+    if state.mstate_g:
+        params["mstate_g"] = state.mstate_g
+    if state.mstate_d:
+        params["mstate_d"] = state.mstate_d
     opt = {
         "opt_state_g": state.opt_state_g,
         "opt_state_d": state.opt_state_d,
@@ -99,9 +103,16 @@ def restore_checkpoint(
         "params_g": template_state.params_g,
         "params_d": template_state.params_d,
     }
+    if template_state.mstate_g:
+        template_params["mstate_g"] = template_state.mstate_g
+    if template_state.mstate_d:
+        template_params["mstate_d"] = template_state.mstate_d
     merged = merge_trees(template_params, raw_params, counter)
     state = template_state.replace(
-        params_g=merged["params_g"], params_d=merged["params_d"]
+        params_g=merged["params_g"],
+        params_d=merged["params_d"],
+        mstate_g=merged.get("mstate_g", template_state.mstate_g),
+        mstate_d=merged.get("mstate_d", template_state.mstate_d),
     )
     n_total = len(jax.tree.leaves(template_params))
     print(

@@ -30,6 +30,10 @@ class GANTrainState:
     lambda_distortion_weight: jax.Array  # float32 scalar (annealed)
     best_val_loss: jax.Array  # float32 scalar (1e12 init, base_trainer.py:12)
     pool: Any = None  # optional ImagePoolState (model.pool_size > 0)
+    # non-param variable collections (e.g. BatchNorm running stats under
+    # --norm batch); empty dicts for the default instance-norm configs
+    mstate_g: Any = None
+    mstate_d: Any = None
 
 
 def make_optimizers(cfg: Config):
@@ -48,7 +52,8 @@ def make_optimizers(cfg: Config):
 
 
 def create_train_state(
-    cfg: Config, params_g, params_d, pool_image_shape=None
+    cfg: Config, params_g, params_d, pool_image_shape=None,
+    mstate_g=None, mstate_d=None,
 ) -> GANTrainState:
     opt_g, opt_d = make_optimizers(cfg)
     pool = None
@@ -67,6 +72,8 @@ def create_train_state(
         lambda_distortion_weight=jnp.asarray(1.0, jnp.float32),
         best_val_loss=jnp.asarray(1e12, jnp.float32),
         pool=pool,
+        mstate_g=mstate_g or {},
+        mstate_d=mstate_d or {},
     )
 
 

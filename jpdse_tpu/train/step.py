@@ -72,21 +72,31 @@ def make_train_step(
     opt_g, opt_d = make_optimizers(cfg)
     use_lsgan = not cfg.model.no_lsgan
 
-    def g_loss_fn(params_g, params_d, inputs, rng):
-        fake, input_label = codec.apply(
-            {"params": params_g},
+    def g_loss_fn(params_g, params_d, mstate_g, mstate_d, inputs, rng):
+        out = codec.apply(
+            {"params": params_g, **mstate_g},
             inputs,
             train=True,
             deterministic=False,
             rngs={"binarize": rng, "dropout": jax.random.fold_in(rng, 1)},
             method=SemanticCodec.decode,
+            mutable=list(mstate_g) or False,
         )
+        if mstate_g:
+            (fake, input_label), new_mstate_g = out
+        else:
+            (fake, input_label), new_mstate_g = out, mstate_g
         real = inputs["real_image"]
         keep = L.match_raw_feat
-        # D(fake) WITH grad into G (pix2pixHD_model.py:733)
-        pred_fake = disc.apply({"params": params_d}, _d_concat(input_label, fake), keep)
+        # D(fake) WITH grad into G (pix2pixHD_model.py:733); D running stats
+        # are only advanced by the D update pass below, not these reads
+        pred_fake = disc.apply(
+            {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
+        )
         # D(real) for feature-matching targets (detached in the loss)
-        pred_real = disc.apply({"params": params_d}, _d_concat(input_label, real), keep)
+        pred_real = disc.apply(
+            {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
+        )
 
         zero = jnp.asarray(0.0, jnp.float32)
         l_g_gan = gan_loss(pred_fake, True, use_lsgan) if not L.no_g_gan_loss else zero
@@ -105,11 +115,11 @@ def make_train_step(
             if not L.no_distortion_loss
             else zero
         )
-        return l_g_gan, l_feat, l_vgg, l_dist, fake, input_label
+        return l_g_gan, l_feat, l_vgg, l_dist, fake, input_label, new_mstate_g
 
-    def total_g(params_g, params_d, inputs, rng, lambda_w):
-        l_g_gan, l_feat, l_vgg, l_dist, fake, input_label = g_loss_fn(
-            params_g, params_d, inputs, rng
+    def total_g(params_g, params_d, mstate_g, mstate_d, inputs, rng, lambda_w):
+        l_g_gan, l_feat, l_vgg, l_dist, fake, input_label, new_mstate_g = g_loss_fn(
+            params_g, params_d, mstate_g, mstate_d, inputs, rng
         )
         # weighting per pix2pixHD_trainer.py:48-56
         total = (
@@ -125,31 +135,49 @@ def make_train_step(
             "G_Distortion": l_dist,
             "fake": fake,
             "input_label": input_label,
+            "mstate_g": new_mstate_g,
         }
         return total, aux
 
-    def d_loss_fn(params_d, inputs, fake_concat, input_label):
+    def d_loss_fn(params_d, mstate_d, inputs, fake_concat, input_label):
         """fake_concat is the (possibly pool-replayed) detached
         label+fake pair (pix2pixHD_model.py:451-460)."""
         real = inputs["real_image"]
         label_sg = (
             jax.lax.stop_gradient(input_label) if input_label is not None else None
         )
-        pred_fake = disc.apply({"params": params_d}, fake_concat)
-        pred_real = disc.apply({"params": params_d}, _d_concat(label_sg, real))
+        if mstate_d:
+            pred_fake, ms1 = disc.apply(
+                {"params": params_d, **mstate_d}, fake_concat,
+                train=True, mutable=list(mstate_d),
+            )
+            pred_real, new_mstate_d = disc.apply(
+                {"params": params_d, **ms1}, _d_concat(label_sg, real),
+                train=True, mutable=list(ms1),
+            )
+        else:
+            pred_fake = disc.apply({"params": params_d}, fake_concat)
+            pred_real = disc.apply({"params": params_d}, _d_concat(label_sg, real))
+            new_mstate_d = mstate_d
         l_fake = gan_loss(pred_fake, False, use_lsgan)
         l_real = gan_loss(pred_real, True, use_lsgan)
-        return 0.5 * (l_fake + l_real), (l_real, l_fake)
+        return 0.5 * (l_fake + l_real), (l_real, l_fake, new_mstate_d)
 
     def step(state: GANTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         inputs = _inputs_from_batch(cfg, batch)
+        mstate_g = state.mstate_g if state.mstate_g is not None else {}
+        mstate_d = state.mstate_d if state.mstate_d is not None else {}
         (loss_g, aux), grads_g = jax.value_and_grad(total_g, has_aux=True)(
             state.params_g,
             state.params_d,
+            mstate_g,
+            mstate_d,
             inputs,
             rng,
             state.lambda_distortion_weight,
         )
+        new_mstate_g = aux["mstate_g"]
+        new_mstate_d = mstate_d
         new_pool = state.pool
         if not L.no_d_gan_loss:
             label_sg = (
@@ -164,9 +192,9 @@ def make_train_step(
                 new_pool, fake_concat = pool_query(
                     state.pool, fake_concat, jax.random.fold_in(rng, 2)
                 )
-            (loss_d, (l_real, l_fake)), grads_d = jax.value_and_grad(
+            (loss_d, (l_real, l_fake, new_mstate_d)), grads_d = jax.value_and_grad(
                 d_loss_fn, has_aux=True
-            )(state.params_d, inputs, fake_concat, aux["input_label"])
+            )(state.params_d, mstate_d, inputs, fake_concat, aux["input_label"])
         else:
             loss_d = jnp.asarray(0.0, jnp.float32)
             l_real = l_fake = loss_d
@@ -196,6 +224,8 @@ def make_train_step(
             steps_taken=steps,
             lambda_distortion_weight=lam,
             pool=new_pool,
+            mstate_g=new_mstate_g,
+            mstate_d=new_mstate_d,
         )
         metrics = {
             "G_GAN": aux["G_GAN"],
@@ -222,10 +252,10 @@ def make_eval_step(cfg: Config, codec: SemanticCodec):
     std = cfg.data.normalize_std
     kind = cfg.loss.distortion_loss_fn
 
-    def step(params_g, batch):
+    def step(params_g, mstate_g, batch):
         inputs = _inputs_from_batch(cfg, batch)
         fake, _ = codec.apply(
-            {"params": params_g}, inputs, method=SemanticCodec.decode
+            {"params": params_g, **mstate_g}, inputs, method=SemanticCodec.decode
         )
         fake_u8 = denormalize_to_uint8(fake, mean, std)
         real_u8 = denormalize_to_uint8(inputs["real_image"], mean, std)
@@ -237,10 +267,10 @@ def make_eval_step(cfg: Config, codec: SemanticCodec):
 def make_infer_fn(cfg: Config, codec: SemanticCodec):
     """get_img (pix2pixHD_model.py:463-465): deterministic reconstruction."""
 
-    def infer(params_g, batch):
+    def infer(params_g, mstate_g, batch):
         inputs = _inputs_from_batch(cfg, batch)
         fake, _ = codec.apply(
-            {"params": params_g}, inputs, method=SemanticCodec.decode
+            {"params": params_g, **mstate_g}, inputs, method=SemanticCodec.decode
         )
         return fake
 
@@ -250,10 +280,50 @@ def make_infer_fn(cfg: Config, codec: SemanticCodec):
 def make_codes_fn(cfg: Config, codec: SemanticCodec):
     """get_code (pix2pixHD_model.py:495-505): deterministic binary codes."""
 
-    def codes(params_g, batch):
+    def codes(params_g, mstate_g, batch):
         inputs = _inputs_from_batch(cfg, batch)
         return codec.apply(
-            {"params": params_g}, inputs, method=SemanticCodec.get_codes
+            {"params": params_g, **mstate_g}, inputs, method=SemanticCodec.get_codes
         )
 
     return jax.jit(codes)
+
+
+def make_shaped_codes_fn(cfg: Config, codec: SemanticCodec):
+    """Binary codes in native (B, h, w, C) layout for entropy coding with
+    per-channel contexts."""
+
+    def codes(params_g, mstate_g, batch):
+        inputs = _inputs_from_batch(cfg, batch)
+        return codec.apply(
+            {"params": params_g, **mstate_g},
+            inputs,
+            method=SemanticCodec.get_codes_shaped,
+        )
+
+    return jax.jit(codes)
+
+
+def make_rate_fn(cfg: Config, codec: SemanticCodec):
+    """Batched on-device rate eval: (params, mstate, batch) ->
+    (shannon_bpp, actual_bpp) scalars, already averaged over the batch and
+    summed over codes (pix2pixHD_model.py:468-492). One two-scalar host fetch
+    replaces the reference-style per-code-per-image Python loop (important
+    over slow device->host links)."""
+    from jpdse_tpu.ops.metrics import bernoulli_shannon_bpp
+
+    def rate(params_g, mstate_g, batch):
+        inputs = _inputs_from_batch(cfg, batch)
+        codes = codec.apply(
+            {"params": params_g, **mstate_g}, inputs, method=SemanticCodec.get_codes
+        )
+        num_pixels = batch["image"].shape[1] * batch["image"].shape[2]
+        shannon = jnp.asarray(0.0, jnp.float32)
+        actual = jnp.asarray(0.0, jnp.float32)
+        for code in codes:
+            s, a = jax.vmap(lambda c: bernoulli_shannon_bpp(c, num_pixels))(code)
+            shannon = shannon + jnp.mean(s)
+            actual = actual + jnp.mean(a)
+        return shannon, actual
+
+    return jax.jit(rate)

@@ -17,7 +17,6 @@ import numpy as np
 from jpdse_tpu.config import Config
 from jpdse_tpu.models import SemanticCodec, build_discriminator, prepare_inputs
 from jpdse_tpu.models.vgg import init_vgg19
-from jpdse_tpu.ops.metrics import bernoulli_shannon_bpp
 from jpdse_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from jpdse_tpu.train.schedule import ReduceLROnPlateau
 from jpdse_tpu.train.state import GANTrainState, create_train_state, set_lr
@@ -25,6 +24,8 @@ from jpdse_tpu.train.step import (
     make_codes_fn,
     make_eval_step,
     make_infer_fn,
+    make_rate_fn,
+    make_shaped_codes_fn,
     make_train_step,
 )
 
@@ -67,15 +68,20 @@ class Trainer:
         with jax.default_device(jax.devices()[0]):
             variables = self.codec.init(rngs, inputs, method=SemanticCodec.decode)
         params_g = variables["params"]
+        # non-param collections (BatchNorm running stats under --norm batch)
+        mstate_g = {k: v for k, v in variables.items() if k != "params"}
 
         self.disc = build_discriminator(cfg)
         params_d = None
+        mstate_d = {}
         if mode == "train":
             fake_shape = list(sample_batch["image"].shape)
             fake_shape[-1] = cfg.data.num_out_channels
             d_in_c = cfg.netD_input_nc
             d_in = jnp.zeros(fake_shape[:3] + [d_in_c], jnp.float32)
-            params_d = self.disc.init(jax.random.PRNGKey(3), d_in)["params"]
+            vars_d = self.disc.init(jax.random.PRNGKey(3), d_in)
+            params_d = vars_d["params"]
+            mstate_d = {k: v for k, v in vars_d.items() if k != "params"}
         else:
             params_d = {}
 
@@ -83,7 +89,9 @@ class Trainer:
         if cfg.model.pool_size > 0:
             h, w = sample_batch["image"].shape[1:3]
             pool_shape = (h, w, cfg.netD_input_nc)
-        self.state = create_train_state(cfg, params_g, params_d, pool_shape)
+        self.state = create_train_state(
+            cfg, params_g, params_d, pool_shape, mstate_g, mstate_d
+        )
 
         vgg_apply = None
         if mode == "train" and not cfg.loss.no_vgg_loss:
@@ -106,6 +114,8 @@ class Trainer:
         self._eval_step = make_eval_step(cfg, self.codec)
         self._infer = make_infer_fn(cfg, self.codec)
         self._codes = make_codes_fn(cfg, self.codec)
+        self._codes_shaped = make_shaped_codes_fn(cfg, self.codec)
+        self._rate = make_rate_fn(cfg, self.codec)
         self._rng = jax.random.PRNGKey(cfg.optim.seed or 0)
 
         if mode == "train" and cfg.optim.schedule_lr:
@@ -143,33 +153,52 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()}
 
     def get_eval_loss(self, batch: Dict) -> float:
-        return float(self._eval_step(self.state.params_g, device_batch(batch)))
+        return float(
+            self._eval_step(self.state.params_g, self._mg(), device_batch(batch))
+        )
 
     def get_img(self, batch: Dict) -> np.ndarray:
-        return np.asarray(self._infer(self.state.params_g, device_batch(batch)))
+        return np.asarray(
+            self._infer(self.state.params_g, self._mg(), device_batch(batch))
+        )
 
     def get_code(self, batch: Dict) -> np.ndarray:
         """Concatenated binary codes (pix2pixHD_trainer.py:100-103)."""
-        codes = self._codes(self.state.params_g, device_batch(batch))
+        codes = self._codes(self.state.params_g, self._mg(), device_batch(batch))
         if not codes:
             raise ValueError("no binarized module in this configuration")
         return np.concatenate([np.asarray(c) for c in codes], axis=-1)
 
+    def get_code_and_contexts(self, batch: Dict) -> Tuple[np.ndarray, np.ndarray]:
+        """(codes, contexts): concatenated flat binary codes (B, n_bits) plus
+        the per-bit context ids (n_bits,) for the range coder's per-channel
+        adaptive models. Context id = channel index within its code, offset so
+        different codes never share a context; fully derivable from config +
+        image shape, so the decoder can reconstruct it without side info."""
+        shaped = self._codes_shaped(self.state.params_g, self._mg(), device_batch(batch))
+        if not shaped:
+            raise ValueError("no binarized module in this configuration")
+        flats, ctxs, offset = [], [], 0
+        for c in shaped:
+            c = np.asarray(c)
+            b = c.shape[0]
+            n_ch = c.shape[-1]
+            n_spatial = int(np.prod(c.shape[1:-1]))
+            flats.append(c.reshape(b, -1))
+            ctxs.append(np.tile(np.arange(n_ch, dtype=np.int32), n_spatial) + offset)
+            offset += n_ch
+        return np.concatenate(flats, axis=-1), np.concatenate(ctxs)
+
     def get_eval_rate(self, batch: Dict) -> Tuple[float, float]:
-        """(shannon_bpp, actual_bpp) averaged over the batch
-        (pix2pixHD_model.py:468-492); codes rate-estimated separately and
-        summed, matching the reference's per-code loop."""
-        codes = self._codes(self.state.params_g, device_batch(batch))
-        img = batch["image"]
-        num_pixels = img.shape[1] * img.shape[2]
-        b = img.shape[0]
-        shannon_total, actual_total = 0.0, 0.0
-        for code in codes:
-            for j in range(b):
-                s, a = bernoulli_shannon_bpp(code[j], num_pixels)
-                shannon_total += float(s)
-                actual_total += float(a)
-        return shannon_total / b, actual_total / b
+        """(shannon_bpp, actual_bpp) averaged over the batch, summed over
+        codes (pix2pixHD_model.py:468-492). Computed fully on-device in one
+        jitted call — a single two-scalar host fetch, not a per-code-per-image
+        fetch loop."""
+        s, a = self._rate(self.state.params_g, self._mg(), device_batch(batch))
+        return float(s), float(a)
+
+    def _mg(self) -> Dict:
+        return self.state.mstate_g if self.state.mstate_g is not None else {}
 
     def maybe_unfreeze_global(self, epoch: int):
         """After niter_fix_global epochs of enhancer-only training, also start

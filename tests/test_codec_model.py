@@ -234,10 +234,10 @@ def test_eval_infer_and_zero_ablations(rng):
     batch = tiny_batch(rng)
     codec, params_g, _ = init_codec(cfg, batch)
     ev = make_eval_step(cfg, codec)
-    loss = ev(params_g, batch)
+    loss = ev(params_g, {}, batch)
     assert np.isfinite(float(loss)) and float(loss) >= 0
     inf = make_infer_fn(cfg, codec)
-    img = inf(params_g, batch)
+    img = inf(params_g, {}, batch)
     assert img.shape == (2, H, W, 3)
 
     # zero_sem ablation changes the output (same params, ablated module —
@@ -249,5 +249,80 @@ def test_eval_infer_and_zero_ablations(rng):
         zero_sem=True,
     )
     inf2 = make_infer_fn(cfg2, SemanticCodec(cfg2))
-    img2 = inf2(params_g, batch)
+    img2 = inf2(params_g, {}, batch)
     assert not np.allclose(np.asarray(img), np.asarray(img2))
+
+
+def test_batchnorm_train_step(rng):
+    """--norm batch trains end-to-end: running stats live in the train state
+    (mstate_g/mstate_d), are updated by the step, and feed eval reads."""
+    from jpdse_tpu.trainer import Trainer
+
+    cfg = tiny_cfg(
+        norm="batch",
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.loss.no_vgg_loss = True
+    cfg.data.batch_size = 2
+    batch = {k: np.asarray(v) for k, v in tiny_batch(rng).items()}
+    tr = Trainer(cfg, "train", sample_batch=batch)
+    assert tr.state.mstate_g and "batch_stats" in tr.state.mstate_g
+    assert tr.state.mstate_d and "batch_stats" in tr.state.mstate_d
+    before_g = jax.tree.map(np.asarray, tr.state.mstate_g)
+    metrics = tr.step(batch)
+    assert np.isfinite(metrics["loss_G"]) and np.isfinite(metrics["loss_D"])
+    after_g = tr.state.mstate_g
+    changed = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before_g), jax.tree.leaves(after_g))
+    )
+    assert changed, "running stats did not update"
+    # eval path consumes the updated stats without error
+    assert np.isfinite(tr.get_eval_loss(batch))
+    assert tr.get_img(batch).shape == batch["image"].shape
+
+
+def test_rate_fn_matches_host_loop(rng):
+    """Batched on-device get_eval_rate == the reference-style per-code,
+    per-image host loop (pix2pixHD_model.py:468-492)."""
+    from jpdse_tpu.ops.metrics import bernoulli_shannon_bpp
+    from jpdse_tpu.train.step import make_rate_fn
+
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    codec, params_g, _ = init_codec(cfg, batch)
+    rate = make_rate_fn(cfg, codec)
+    s_fast, a_fast = rate(params_g, {}, batch)
+
+    codes_fn = make_codes_fn(cfg, codec)
+    codes = codes_fn(params_g, {}, batch)
+    num_pixels = H * W
+    b = batch["image"].shape[0]
+    s_slow = a_slow = 0.0
+    for code in codes:
+        for j in range(b):
+            s, a = bernoulli_shannon_bpp(code[j], num_pixels)
+            s_slow += float(s)
+            a_slow += float(a)
+    assert abs(float(s_fast) - s_slow / b) < 1e-5
+    assert abs(float(a_fast) - a_slow / b) < 1e-6
+
+
+def test_code_and_contexts_layout(rng):
+    """get_code_and_contexts: flat codes match get_code; context ids cycle
+    per channel within each code and are disjoint across codes."""
+    from jpdse_tpu.trainer import Trainer
+
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.data.batch_size = 2
+    batch = {k: np.asarray(v) for k, v in tiny_batch(rng).items()}
+    tr = Trainer(cfg, "test", sample_batch=batch)
+    codes = tr.get_code(batch)
+    codes2, ctx = tr.get_code_and_contexts(batch)
+    np.testing.assert_array_equal(codes, codes2)
+    assert ctx.shape == (codes.shape[1],)
+    # two binarized encoders at 16 channels each -> 32 distinct contexts
+    assert ctx.min() == 0 and ctx.max() == 31
+    assert set(np.unique(ctx)) == set(range(32))

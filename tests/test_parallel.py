@@ -104,10 +104,10 @@ def test_sharded_inference_matches_single_device(rng):
     batch = tiny_batch(rng, b=4)
     codec, params_g, _ = init_codec(cfg, batch)
     infer = make_infer_fn(cfg, codec)
-    single = infer(params_g, batch)
+    single = infer(params_g, {}, batch)
     mesh = make_mesh(4, 2)
     sharded = make_sharded_infer(infer, mesh)
-    multi = sharded(params_g, batch)
+    multi = sharded(params_g, {}, batch)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi), atol=2e-5)
 
 

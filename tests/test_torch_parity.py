@@ -251,3 +251,42 @@ def test_nlayer_discriminator_matches_torch(rng):
         np.testing.assert_allclose(
             np.asarray(ours_f), np.asarray(from_nchw(gold_f)), atol=1e-4
         )
+
+
+def test_batchnorm_matches_torch(rng):
+    """--norm batch parity: gamma init normal(1.0, 0.02) (networks.py:22-24)
+    and train/eval forward parity against torch BatchNorm2d."""
+    from jpdse_tpu.models.layers import Norm
+
+    x = rng.normal(size=(4, 8, 8, 32)).astype(np.float32) * 3 + 1
+    m = Norm(kind="batch")
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    bn_params = v["params"]["BatchNorm_0"]
+    g = np.asarray(bn_params["scale"])
+    b = np.asarray(bn_params["bias"])
+    # init distribution: mean 1.0, std 0.02 (reference weights_init)
+    assert abs(g.mean() - 1.0) < 0.02
+    assert 0.005 < g.std() < 0.05
+    assert np.all(b == 0)
+
+    t = tnn.BatchNorm2d(32, eps=1e-5, momentum=0.1)
+    t.weight.data = torch.from_numpy(g)
+    t.bias.data = torch.from_numpy(b)
+
+    # train mode: batch statistics
+    ours, updates = m.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    t.train()
+    golden = from_nchw(t(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=1e-4)
+
+    # eval mode: running statistics (synced from the flax side)
+    bs = updates["batch_stats"]["BatchNorm_0"]
+    t.running_mean.data = torch.from_numpy(np.asarray(bs["mean"]))
+    t.running_var.data = torch.from_numpy(np.asarray(bs["var"]))
+    v2 = {"params": v["params"], "batch_stats": updates["batch_stats"]}
+    ours_eval = m.apply(v2, jnp.asarray(x), train=False)
+    t.eval()
+    golden_eval = from_nchw(t(to_nchw(x)))
+    np.testing.assert_allclose(
+        np.asarray(ours_eval), np.asarray(golden_eval), atol=1e-4
+    )
