@@ -154,6 +154,15 @@ class ModelConfig:
     generator_binarizer_out_channels: int = 128
     # precision: compute dtype for the nets ("float32" | "bfloat16")
     compute_dtype: str = "float32"
+    # fuse InstanceNorm(+ReLU)(+residual) into one Pallas pass
+    # (ops/pallas/instance_norm.py; numerically identical jnp fallback
+    # off-TPU). Default OFF: measured on v5e (1024x512 bf16 decode, batch 8)
+    # it is a consistent ~3% regression (23.5 vs 24.3 MP/s A/B in one
+    # session) — XLA already fuses the norm chain into the conv epilogues,
+    # and the Pallas call boundary breaks those fusions. Kept as a
+    # config-selectable kernel (and as the template for ops where XLA's
+    # fusion is insufficient).
+    fused_instance_norm: bool = False
 
 
 @dataclass

@@ -87,6 +87,7 @@ class SemanticCodec(nn.Module):
                 binarizer_out_channels=m.generator_binarizer_out_channels,
                 bin_before_res=m.bin_generator_before_res,
                 use_dropout=m.use_dropout,
+                fused=m.fused_instance_norm,
                 dtype=dtype,
                 name="netG",
             )
@@ -103,6 +104,7 @@ class SemanticCodec(nn.Module):
                 m.n_local_enhancers,
                 m.n_blocks_local,
                 m.norm,
+                fused=m.fused_instance_norm,
                 dtype=dtype,
                 name="netG",
             )
@@ -119,6 +121,7 @@ class SemanticCodec(nn.Module):
                 binarize=not m.no_encoder_binarization,
                 binarizer_out_channels=m.encoder_binarizer_out_channels,
                 groups=m.netE_groups,
+                fused=m.fused_instance_norm,
                 dtype=dtype,
                 name="netE",
             )
@@ -131,6 +134,7 @@ class SemanticCodec(nn.Module):
                 m.norm,
                 binarize=not m.no_label_encoder_binarization,
                 binarizer_out_channels=m.label_encoder_binarizer_out_channels,
+                fused=m.fused_instance_norm,
                 dtype=dtype,
                 name="netE4label",
             )

@@ -23,6 +23,7 @@ from jpdse_tpu.models.layers import (
     ConvTranspose,
     Norm,
     ResnetBlock,
+    _fused_norm,
     avg_pool_3s2,
     instance_wise_avg_pool,
     reflect_pad,
@@ -47,17 +48,19 @@ class GlobalGenerator(nn.Module):
     binarizer_out_channels: int = 128
     bin_before_res: bool = False
     use_dropout: bool = False
+    fused: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         ngf, nd = self.ngf, self.n_downsampling
         self.head = ConvNormAct(
-            ngf, 7, reflect=3, norm=self.norm, dtype=self.dtype, name="head"
+            ngf, 7, reflect=3, norm=self.norm, fused=self.fused,
+            dtype=self.dtype, name="head"
         )
         self.down = [
             ConvNormAct(
                 ngf * (2**i) * 2, 3, stride=2, padding=1, norm=self.norm,
-                dtype=self.dtype, name=f"down{i}",
+                fused=self.fused, dtype=self.dtype, name=f"down{i}",
             )
             for i in range(nd)
         ]
@@ -76,14 +79,14 @@ class GlobalGenerator(nn.Module):
         self.res = [
             ResnetBlock(
                 res_dim, self.padding_type, self.norm, self.use_dropout,
-                dtype=self.dtype, name=f"res{i}",
+                fused=self.fused, dtype=self.dtype, name=f"res{i}",
             )
             for i in range(self.n_blocks)
         ]
         self.up = [
             ConvTransposeNormAct(
-                int(ngf * (2 ** (nd - i)) / 2), norm=self.norm, dtype=self.dtype,
-                name=f"up{i}",
+                int(ngf * (2 ** (nd - i)) / 2), norm=self.norm, fused=self.fused,
+                dtype=self.dtype, name=f"up{i}",
             )
             for i in range(nd)
         ]
@@ -141,11 +144,14 @@ class ConvTransposeNormAct(nn.Module):
 
     features: int
     norm: str = "instance"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvTranspose(self.features, 3, 2, 1, 1, dtype=self.dtype, name="deconv")(x)
+        if self.fused and self.norm == "instance":
+            return _fused_norm(x, relu=True)
         x = Norm(self.norm, dtype=self.dtype, name="norm")(x, train=train)
         return nn.relu(x)
 
@@ -166,6 +172,7 @@ class LocalEnhancer(nn.Module):
     n_blocks_local: int = 3
     norm: str = "instance"
     padding_type: str = "reflect"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -180,6 +187,7 @@ class LocalEnhancer(nn.Module):
             self.n_blocks_global,
             self.norm,
             self.padding_type,
+            fused=self.fused,
             dtype=self.dtype,
             name="global",
         )
@@ -187,7 +195,10 @@ class LocalEnhancer(nn.Module):
         for n in range(1, self.n_local_enhancers + 1):
             ngf_g = self.ngf * (2 ** (self.n_local_enhancers - n))
             downs.append(
-                LocalDownsample(ngf_g, self.norm, dtype=self.dtype, name=f"local{n}_down")
+                LocalDownsample(
+                    ngf_g, self.norm, fused=self.fused, dtype=self.dtype,
+                    name=f"local{n}_down",
+                )
             )
             ups.append(
                 LocalUpsample(
@@ -197,6 +208,7 @@ class LocalEnhancer(nn.Module):
                     self.norm,
                     self.padding_type,
                     final=(n == self.n_local_enhancers),
+                    fused=self.fused,
                     dtype=self.dtype,
                     name=f"local{n}_up",
                 )
@@ -221,15 +233,18 @@ class LocalEnhancer(nn.Module):
 class LocalDownsample(nn.Module):
     ngf: int
     norm: str = "instance"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvNormAct(self.ngf, 7, reflect=3, norm=self.norm, dtype=self.dtype, name="c7")(
-            x, train=train
-        )
+        x = ConvNormAct(
+            self.ngf, 7, reflect=3, norm=self.norm, fused=self.fused,
+            dtype=self.dtype, name="c7",
+        )(x, train=train)
         return ConvNormAct(
-            self.ngf * 2, 3, stride=2, padding=1, norm=self.norm, dtype=self.dtype, name="d1"
+            self.ngf * 2, 3, stride=2, padding=1, norm=self.norm, fused=self.fused,
+            dtype=self.dtype, name="d1",
         )(x, train=train)
 
 
@@ -240,17 +255,19 @@ class LocalUpsample(nn.Module):
     norm: str = "instance"
     padding_type: str = "reflect"
     final: bool = False
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.n_blocks):
             x = ResnetBlock(
-                self.ngf * 2, self.padding_type, self.norm, dtype=self.dtype, name=f"res{i}"
+                self.ngf * 2, self.padding_type, self.norm, fused=self.fused,
+                dtype=self.dtype, name=f"res{i}",
             )(x, train=train)
-        x = ConvTransposeNormAct(self.ngf, self.norm, dtype=self.dtype, name="up")(
-            x, train=train
-        )
+        x = ConvTransposeNormAct(
+            self.ngf, self.norm, fused=self.fused, dtype=self.dtype, name="up"
+        )(x, train=train)
         if self.final:
             x = reflect_pad(x, 3)
             x = TConv(self.output_nc, 7, dtype=self.dtype, name="tail")(x)
@@ -273,17 +290,19 @@ class Encoder(nn.Module):
     binarize: bool = False
     binarizer_out_channels: int = 128
     groups: int = 1
+    fused: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         g = self.groups
         self.head = ConvNormAct(
-            self.ngf, 7, reflect=3, groups=g, norm=self.norm, dtype=self.dtype, name="head"
+            self.ngf, 7, reflect=3, groups=g, norm=self.norm, fused=self.fused,
+            dtype=self.dtype, name="head"
         )
         self.down = [
             ConvNormAct(
                 self.ngf * (2**i) * 2, 3, stride=2, padding=1, groups=g,
-                norm=self.norm, dtype=self.dtype, name=f"down{i}",
+                norm=self.norm, fused=self.fused, dtype=self.dtype, name=f"down{i}",
             )
             for i in range(self.n_downsampling)
         ]
@@ -294,7 +313,7 @@ class Encoder(nn.Module):
         self.up = [
             GroupedConvTransposeNormAct(
                 int(self.ngf * (2 ** (self.n_downsampling - i)) / 2), g, self.norm,
-                dtype=self.dtype, name=f"up{i}",
+                fused=self.fused, dtype=self.dtype, name=f"up{i}",
             )
             for i in range(self.n_downsampling)
         ]
@@ -336,6 +355,7 @@ class GroupedConvTransposeNormAct(nn.Module):
     features: int
     groups: int = 1
     norm: str = "instance"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -343,5 +363,7 @@ class GroupedConvTransposeNormAct(nn.Module):
         x = ConvTranspose(
             self.features, 3, 2, 1, 1, groups=self.groups, dtype=self.dtype, name="deconv"
         )(x)
+        if self.fused and self.norm == "instance":
+            return _fused_norm(x, relu=True)
         x = Norm(self.norm, dtype=self.dtype, name="norm")(x, train=train)
         return nn.relu(x)

@@ -184,8 +184,18 @@ def leaky_relu(x, negative_slope=0.2):
     return nn.leaky_relu(x, negative_slope=negative_slope)
 
 
+def _fused_norm(x, relu: bool = False, residual=None):
+    """InstanceNorm [+ReLU] [+residual] through the Pallas TPU kernel
+    (ops/pallas/instance_norm.py); numerically-identical jnp fallback off-TPU
+    or when the (H, W) slab exceeds the kernel's VMEM budget."""
+    from jpdse_tpu.ops.pallas.instance_norm import fused_instance_norm
+
+    return fused_instance_norm(x, residual=residual, relu=relu)
+
+
 class ConvNormAct(nn.Module):
-    """conv -> norm -> activation block."""
+    """conv -> norm -> activation block. With instance norm + ReLU and
+    ``fused`` on, the norm+act run as one fused Pallas pass on TPU."""
 
     features: int
     kernel_size: int
@@ -195,6 +205,7 @@ class ConvNormAct(nn.Module):
     norm: str = "instance"
     act: Optional[Callable] = nn.relu
     reflect: int = 0  # reflection padding applied before the conv
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,6 +221,8 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        if self.fused and self.norm == "instance" and self.act is nn.relu:
+            return _fused_norm(x, relu=True)
         x = Norm(self.norm, dtype=self.dtype, name="norm")(x, train=train)
         if self.act is not None:
             x = self.act(x)
@@ -224,20 +237,27 @@ class ResnetBlock(nn.Module):
     padding_type: str = "reflect"
     norm: str = "instance"
     use_dropout: bool = False
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool = True):
+        fused = self.fused and self.norm == "instance"
         h = x
         pad_fn, p = self._padding()
         h = pad_fn(h) if pad_fn else h
         h = Conv(self.dim, 3, padding=p, dtype=self.dtype, name="conv1")(h)
-        h = Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
-        h = nn.relu(h)
+        if fused:
+            h = _fused_norm(h, relu=True)
+        else:
+            h = Norm(self.norm, dtype=self.dtype, name="norm1")(h, train=train)
+            h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=deterministic)(h)
         h = pad_fn(h) if pad_fn else h
         h = Conv(self.dim, 3, padding=p, dtype=self.dtype, name="conv2")(h)
+        if fused:
+            return _fused_norm(h, residual=x)
         h = Norm(self.norm, dtype=self.dtype, name="norm2")(h, train=train)
         return x + h
 

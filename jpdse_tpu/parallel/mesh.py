@@ -49,6 +49,51 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
 
 
+def mesh_from_config(parallel_cfg, devices=None) -> Optional[Mesh]:
+    """Build the mesh requested by a ParallelConfig, or None for the default
+    single-device path. Multi-chip is opt-in: engage when ``data_axis > 0``
+    (explicit DP degree) or ``spatial_axis > 1`` (H-axis activation sharding);
+    ``data_axis == -1`` then means 'all remaining devices'. This replaces the
+    reference's --gpu_ids flag surface (base_parser.py:110), which rejected
+    >1 device (base_parser.py:236)."""
+    p = parallel_cfg
+    if p.data_axis <= 0 and p.spatial_axis <= 1:
+        return None
+    devices = list(devices if devices is not None else jax.devices())
+    n_spatial = max(1, p.spatial_axis)
+    n_data = p.data_axis if p.data_axis > 0 else max(1, len(devices) // n_spatial)
+    need = n_data * n_spatial
+    if len(devices) < need:
+        raise ValueError(
+            f"parallel config requests a {n_data}x{n_spatial} (data x spatial) "
+            f"mesh but only {len(devices)} devices are visible"
+        )
+    return make_mesh(n_data, n_spatial, devices[:need])
+
+
+def shard_batch_flexible(batch: Dict, mesh: Mesh, shard_spatial: bool = True) -> Dict:
+    """Place a host batch onto the mesh: B over 'data' when divisible (else
+    replicated — e.g. the reference-protocol batch-1 eval), H (axis 1) over
+    'spatial' when divisible. Host-only fields must be stripped first."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        spec = [None] * arr.ndim
+        if arr.ndim >= 1 and n_data > 1 and arr.shape[0] % n_data == 0:
+            spec[0] = DATA_AXIS
+        if (
+            shard_spatial
+            and arr.ndim >= 3
+            and n_spatial > 1
+            and arr.shape[1] % n_spatial == 0
+        ):
+            spec[1] = SPATIAL_AXIS
+        out[k] = jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+    return out
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

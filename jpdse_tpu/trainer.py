@@ -49,6 +49,25 @@ class Trainer:
         self.start_epoch = 0
         self.sched: Optional[ReduceLROnPlateau] = None
 
+        # multi-chip: build the (data, spatial) mesh when the config asks for
+        # one (--data_axis / --spatial_axis); params replicate, batches shard,
+        # XLA inserts the collectives (grad psums over 'data', conv halo
+        # exchanges over 'spatial')
+        from jpdse_tpu.parallel.mesh import mesh_from_config
+
+        self.mesh = mesh_from_config(cfg.parallel)
+        self._shard_spatial = cfg.parallel.spatial_axis > 1
+        if self.mesh is not None:
+            print(
+                f"device mesh: data={self.mesh.shape['data']} x "
+                f"spatial={self.mesh.shape['spatial']}"
+            )
+            if mode == "train" and cfg.data.batch_size % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} not divisible by "
+                    f"data_axis {self.mesh.shape['data']}"
+                )
+
         if sample_batch is None:
             sample_batch = self._synthetic_batch()
         sample_batch = device_batch(sample_batch)
@@ -92,6 +111,7 @@ class Trainer:
         self.state = create_train_state(
             cfg, params_g, params_d, pool_shape, mstate_g, mstate_d
         )
+        self.state = self._replicate_state(self.state)
 
         vgg_apply = None
         if mode == "train" and not cfg.loss.no_vgg_loss:
@@ -126,6 +146,22 @@ class Trainer:
             )
 
     # ------------------------------------------------------------------
+    def _replicate_state(self, state):
+        if self.mesh is None:
+            return state
+        from jpdse_tpu.parallel.mesh import replicated
+
+        return jax.device_put(state, replicated(self.mesh))
+
+    def _place(self, batch: Dict) -> Dict:
+        """Strip host fields and (under a mesh) shard onto the devices."""
+        b = device_batch(batch)
+        if self.mesh is not None:
+            from jpdse_tpu.parallel.mesh import shard_batch_flexible
+
+            b = shard_batch_flexible(b, self.mesh, self._shard_spatial)
+        return b
+
     def _synthetic_batch(self) -> Dict:
         cfg = self.cfg
         pp = cfg.data.preprocess
@@ -149,22 +185,22 @@ class Trainer:
     def step(self, batch: Dict) -> Dict[str, float]:
         """One G+D update; returns the loss dict (pix2pixHD_trainer.py:42-85)."""
         self._rng, sub = jax.random.split(self._rng)
-        self.state, metrics = self._train_step(self.state, device_batch(batch), sub)
+        self.state, metrics = self._train_step(self.state, self._place(batch), sub)
         return {k: float(v) for k, v in metrics.items()}
 
     def get_eval_loss(self, batch: Dict) -> float:
         return float(
-            self._eval_step(self.state.params_g, self._mg(), device_batch(batch))
+            self._eval_step(self.state.params_g, self._mg(), self._place(batch))
         )
 
     def get_img(self, batch: Dict) -> np.ndarray:
         return np.asarray(
-            self._infer(self.state.params_g, self._mg(), device_batch(batch))
+            self._infer(self.state.params_g, self._mg(), self._place(batch))
         )
 
     def get_code(self, batch: Dict) -> np.ndarray:
         """Concatenated binary codes (pix2pixHD_trainer.py:100-103)."""
-        codes = self._codes(self.state.params_g, self._mg(), device_batch(batch))
+        codes = self._codes(self.state.params_g, self._mg(), self._place(batch))
         if not codes:
             raise ValueError("no binarized module in this configuration")
         return np.concatenate([np.asarray(c) for c in codes], axis=-1)
@@ -175,7 +211,7 @@ class Trainer:
         adaptive models. Context id = channel index within its code, offset so
         different codes never share a context; fully derivable from config +
         image shape, so the decoder can reconstruct it without side info."""
-        shaped = self._codes_shaped(self.state.params_g, self._mg(), device_batch(batch))
+        shaped = self._codes_shaped(self.state.params_g, self._mg(), self._place(batch))
         if not shaped:
             raise ValueError("no binarized module in this configuration")
         flats, ctxs, offset = [], [], 0
@@ -194,7 +230,7 @@ class Trainer:
         codes (pix2pixHD_model.py:468-492). Computed fully on-device in one
         jitted call — a single two-scalar host fetch, not a per-code-per-image
         fetch loop."""
-        s, a = self._rate(self.state.params_g, self._mg(), device_batch(batch))
+        s, a = self._rate(self.state.params_g, self._mg(), self._place(batch))
         return float(s), float(a)
 
     def _mg(self) -> Dict:
@@ -231,12 +267,19 @@ class Trainer:
         self.state, meta = restore_checkpoint(
             ckpt_dir, self.state, restore_opt=(self.mode == "train")
         )
+        self.state = self._replicate_state(self.state)
         if self.mode == "train":
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             if self.sched is not None and "scheduler" in meta:
                 self.sched.load_state_dict(meta["scheduler"])
                 self.state = set_lr(self.state, self.sched.lr)
         print(f"checkpoint loaded; starting from epoch {self.start_epoch + 1}")
+
+    @property
+    def current_lr(self) -> float:
+        from jpdse_tpu.train.state import get_lr
+
+        return get_lr(self.state)
 
     @property
     def best_val_loss(self) -> float:

@@ -64,3 +64,38 @@ def test_train_then_test_cli(tmp_path):
     assert 0 < metrics["PSNR"] < 60
     assert 0 <= metrics["MS-SSIM"] <= 1
     assert (out / "test_visualizations" / "index.html").exists()
+
+
+def test_train_cli_multichip_mesh(tmp_path):
+    """--data_axis/--spatial_axis build a real mesh inside the CLI: train one
+    epoch DP=4 x spatial=2 on the 8-device CPU mesh, then eval (batch-1 eval
+    replicates over 'data', shards H over 'spatial')."""
+    save = tmp_path / "run"
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    args = (
+        TINY.format(root=CITYSCAPES_ROOT)
+        + f"--data_axis 4 --spatial_axis 2 --batch_size 4 "
+        + f"--num_epochs 1 --always_save --save_dir {save}"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py")] + args.split(),
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "device mesh: data=4 x spatial=2" in r.stdout
+    assert (save / "params").exists()
+
+    out = tmp_path / "out"
+    targs = (
+        f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
+        f"--save_dir {out} --root_dir {CITYSCAPES_ROOT} --mode val "
+        f"--max_dataset_size 2 --do_not_get_codes"
+    )
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "test.py")] + targs.split(),
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert 0 < metrics["PSNR"] < 60

@@ -150,9 +150,13 @@ def main():
 
         if not (epoch + 1) % cfg.optim.val_interval:
             avg = validate(trainer, val_loader, log_file, cfg)
-            metrics_log.log(trainer.steps_taken, {"avg_val_distortion": avg}, epoch=epoch)
             if cfg.optim.schedule_lr:
                 trainer.scheduler_step(avg)
+            metrics_log.log(
+                trainer.steps_taken,
+                {"avg_val_distortion": avg, "lr": trainer.current_lr},
+                epoch=epoch,
+            )
             if cfg.always_save or (avg < trainer.best_val_loss and cfg.save_dir):
                 dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer)
                 log("saving model...", log_file)
