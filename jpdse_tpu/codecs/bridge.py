@@ -13,6 +13,13 @@ fixing its two throughput sins:
 
 Returns both the decoded image and the bitstream byte count, so base-codec
 bpp is measurable (the reference never tracked it).
+
+Round 2 adds the SURVEY §7.3 design target: ``ext heif``, an **in-process
+HEVC-intra codec** (jpdse_tpu/native/heif_codec.cpp: libheif + x265/de265
+behind a C++ in-memory RGB<->bitstream API). BPG *is* HEVC intra coding, so
+this is the flagship base-codec family with zero subprocess forks and zero
+filesystem round trips; ``ext bpg`` additionally falls back to it (with a
+one-time notice) when the bpgenc/bpgdec binaries are absent.
 """
 
 from __future__ import annotations
@@ -45,11 +52,34 @@ def _ramdisk_dir() -> str:
     return "."
 
 
+def _heif_ok() -> bool:
+    try:
+        from jpdse_tpu import native
+
+        return native.heif_available()
+    except Exception:
+        return False
+
+
 def available_codecs() -> List[str]:
     codecs = ["jpg", "webp", "j2k"]
-    if _BPG_ENC and _BPG_DEC:
+    if _heif_ok():
+        codecs.append("heif")
+    if (_BPG_ENC and _BPG_DEC) or _heif_ok():
         codecs.append("bpg")
     return codecs
+
+
+_bpg_fallback_warned = False
+
+
+def _heif_round_trip(img: Image.Image, quality: int) -> Tuple[Image.Image, int]:
+    from jpdse_tpu import native
+
+    rgb = np.asarray(img, np.uint8)
+    stream = native.heif_encode(rgb, quality=int(quality))
+    dec = native.heif_decode(stream)
+    return Image.fromarray(dec), len(stream)
 
 
 def _pil_round_trip(img: Image.Image, fmt: str, save_kwargs: dict) -> Tuple[Image.Image, int]:
@@ -80,11 +110,32 @@ def encode_decode(
         return _pil_round_trip(
             img, "JPEG2000", {"quality_mode": "rates", "quality_layers": [quality]}
         )
+    if ext == "heif":
+        if not _heif_ok():
+            raise CodecUnavailable(
+                "in-process HEVC codec unavailable (libheif/x265/de265 not "
+                "loadable) — use ext in {jpg, webp, j2k}"
+            )
+        return _heif_round_trip(img, quality)
     if ext == "bpg":
         if not (_BPG_ENC and _BPG_DEC):
+            if _heif_ok():
+                # BPG is HEVC intra; fall back to the in-process HEVC codec.
+                # bpgenc -q is a quantizer in [0, 51] (lower = better); map it
+                # monotonically onto libheif's [0, 100] quality (higher =
+                # better): q_heif = 100 - 2 * q_bpg.
+                global _bpg_fallback_warned
+                if not _bpg_fallback_warned:
+                    _bpg_fallback_warned = True
+                    print(
+                        "note: bpgenc/bpgdec binaries absent; using the "
+                        "in-process HEVC-intra codec (ext heif) with "
+                        "q_heif = 100 - 2*q_bpg"
+                    )
+                return _heif_round_trip(img, max(0, min(100, 100 - 2 * int(quality))))
             raise CodecUnavailable(
                 "bpgenc/bpgdec not found on PATH — install libbpg or use "
-                "ext in {jpg, webp, j2k}"
+                "ext in {jpg, webp, j2k, heif}"
             )
         d = _ramdisk_dir()
         stem = os.path.join(d, f"jpdse_{uuid.uuid4().hex}")
@@ -107,7 +158,7 @@ def encode_decode(
             for p in (png, bpg, out):
                 if os.path.exists(p):
                     os.unlink(p)
-    raise ValueError("format must be one of jpg, webp, j2k, or bpg")
+    raise ValueError("format must be one of jpg, webp, j2k, heif, or bpg")
 
 
 _POOL: Optional[ThreadPoolExecutor] = None

@@ -205,7 +205,7 @@ class CodecConfig:
     """External base-codec bridge knobs (pix2pixHD_model.py:57-59)."""
 
     use_compressed: bool = False
-    ext: str = "jpg"  # jpg | j2k | bpg | webp
+    ext: str = "jpg"  # jpg | j2k | bpg | webp | heif (in-process HEVC intra)
     quality: Tuple[int, ...] = (100,)
 
     def __post_init__(self):

@@ -6,6 +6,10 @@ external deps). Components:
     the reference only *estimated* rate (pix2pixHD_model.py:480-489) and
     dumped one raw byte per bit (test.py:98-110); this produces real
     bitstreams.
+  * in-process HEVC-intra image codec (libheif/x265/de265, dlopen'd) — the
+    BPG-equivalent base codec (BPG is HEVC intra) with an in-memory
+    RGB<->bitstream API, replacing the reference's per-image
+    bpgenc/bpgdec subprocess+disk round trip (pix2pixHD_model.py:317-318).
 """
 
 from __future__ import annotations
@@ -54,6 +58,19 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_heif_available.restype = ctypes.c_int
+    lib.jpdse_heif_encode.restype = ctypes.c_int64
+    lib.jpdse_heif_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_heif_decode.restype = ctypes.c_int64
+    lib.jpdse_heif_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
     _lib = lib
     return lib
@@ -126,3 +143,62 @@ def entropy_decode(
         bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_bits,
     )
     return bits
+
+
+# ---------------------------------------------------------------------------
+# in-process HEVC-intra image codec (BPG-equivalent; see heif_codec.cpp)
+# ---------------------------------------------------------------------------
+
+def heif_available() -> bool:
+    """libheif with HEVC encode (x265) + decode (de265) plugins usable?"""
+    try:
+        return bool(load().jpdse_heif_available())
+    except NativeUnavailable:
+        return False
+
+
+def heif_encode(rgb: np.ndarray, quality: int = 50, preset: str = "fast") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array to an HEVC-intra (HEIF) bitstream
+    fully in-process/in-memory. quality in [0, 100]."""
+    lib = load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    cap = w * h * 3 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.jpdse_heif_encode(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, int(quality),
+        preset.encode() if preset else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if size < 0:
+        raise RuntimeError(f"heif encode failed (code {size})")
+    return out[:size].tobytes()
+
+
+def heif_decode(data: bytes) -> np.ndarray:
+    """Decode an HEVC-intra (HEIF) bitstream to an (H, W, 3) uint8 array."""
+    lib = load()
+    src = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    # over-allocate; real size returned via out_w/out_h
+    cap = max(len(data) * 256, 1 << 22)
+    out = np.empty(cap, dtype=np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.jpdse_heif_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc == -2:  # buffer too small: retry with the exact size... unknown; double
+        cap = cap * 8
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.jpdse_heif_decode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            ctypes.byref(w), ctypes.byref(h),
+        )
+    if rc != 0:
+        raise RuntimeError(f"heif decode failed (code {rc})")
+    return out[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()

@@ -59,3 +59,61 @@ def test_empty_and_tiny():
     np.testing.assert_array_equal(
         native.entropy_decode(native.entropy_encode(one), 1), one
     )
+
+
+# ---------------------------------------------------------------------------
+# in-process HEVC-intra codec (BPG-equivalent)
+# ---------------------------------------------------------------------------
+
+heif_skip = pytest.mark.skipif(
+    not native.available() or not native.heif_available(),
+    reason="libheif HEVC plugins unavailable",
+)
+
+
+def _test_image(rng, h=128, w=256):
+    import numpy as np
+
+    x = np.linspace(0, 255, w)[None, :, None] + np.linspace(0, 60, h)[:, None, None]
+    return np.clip(x + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+@heif_skip
+def test_heif_round_trip(rng):
+    img = _test_image(rng)
+    stream = native.heif_encode(img, quality=60)
+    dec = native.heif_decode(stream)
+    assert dec.shape == img.shape
+    mse = np.mean((dec.astype(np.float64) - img.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 28, psnr
+    # lossy: far smaller than raw
+    assert len(stream) < img.nbytes / 4
+
+
+@heif_skip
+def test_heif_quality_monotone(rng):
+    img = _test_image(rng)
+    sizes, psnrs = [], []
+    for q in (20, 50, 80):
+        s = native.heif_encode(img, quality=q)
+        d = native.heif_decode(s).astype(np.float64)
+        sizes.append(len(s))
+        psnrs.append(10 * np.log10(255.0**2 / np.mean((d - img) ** 2)))
+    assert sizes[0] < sizes[2], sizes
+    assert psnrs[0] < psnrs[2], psnrs
+
+
+@heif_skip
+def test_bridge_heif_and_bpg_fallback(rng):
+    from jpdse_tpu.codecs import bridge
+
+    img = _test_image(rng)
+    dec, nbytes = bridge.encode_decode(img, "heif", 50)
+    assert dec.size == (256, 128) and nbytes > 0
+    assert "heif" in bridge.available_codecs()
+    # bpg falls back to the in-process HEVC codec when binaries are absent
+    if not (bridge._BPG_ENC and bridge._BPG_DEC):
+        assert "bpg" in bridge.available_codecs()
+        dec2, nbytes2 = bridge.encode_decode(img, "bpg", 33)
+        assert dec2.size == (256, 128) and nbytes2 > 0
