@@ -63,6 +63,13 @@ def _heif_ok() -> bool:
 
 def available_codecs() -> List[str]:
     codecs = ["jpg", "webp", "j2k"]
+    try:
+        from PIL import features as _pil_features
+
+        if _pil_features.check("avif"):
+            codecs.append("avif")
+    except Exception:
+        pass
     if _heif_ok():
         codecs.append("heif")
     if (_BPG_ENC and _BPG_DEC) or _heif_ok():
@@ -106,6 +113,10 @@ def encode_decode(
         return _pil_round_trip(img, "JPEG", {"quality": int(quality)})
     if ext == "webp":
         return _pil_round_trip(img, "WEBP", {"quality": int(quality)})
+    if ext == "avif":
+        # AV1 intra via libavif (PIL plugin) — a modern base codec beyond the
+        # reference's four; quality in [0, 100]
+        return _pil_round_trip(img, "AVIF", {"quality": int(quality)})
     if ext == "j2k":
         return _pil_round_trip(
             img, "JPEG2000", {"quality_mode": "rates", "quality_layers": [quality]}
@@ -158,7 +169,7 @@ def encode_decode(
             for p in (png, bpg, out):
                 if os.path.exists(p):
                     os.unlink(p)
-    raise ValueError("format must be one of jpg, webp, j2k, heif, or bpg")
+    raise ValueError("format must be one of jpg, webp, j2k, avif, heif, or bpg")
 
 
 _POOL: Optional[ThreadPoolExecutor] = None

@@ -163,6 +163,10 @@ class ModelConfig:
     # config-selectable kernel (and as the template for ops where XLA's
     # fusion is insufficient).
     fused_instance_norm: bool = False
+    # compute ConvTranspose2d(3,2,1,op=1) as 4 dense per-phase convs + one
+    # depth-to-space instead of an input-dilated conv (3/4 of whose MACs are
+    # zeros on the MXU). Exact (golden-tested); default set by measurement.
+    phase_deconv: bool = False
 
 
 @dataclass
@@ -205,7 +209,7 @@ class CodecConfig:
     """External base-codec bridge knobs (pix2pixHD_model.py:57-59)."""
 
     use_compressed: bool = False
-    ext: str = "jpg"  # jpg | j2k | bpg | webp | heif (in-process HEVC intra)
+    ext: str = "jpg"  # jpg | j2k | bpg | webp | heif (in-process HEVC intra) | avif
     quality: Tuple[int, ...] = (100,)
 
     def __post_init__(self):

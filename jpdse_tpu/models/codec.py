@@ -88,6 +88,7 @@ class SemanticCodec(nn.Module):
                 bin_before_res=m.bin_generator_before_res,
                 use_dropout=m.use_dropout,
                 fused=m.fused_instance_norm,
+                phase_deconv=m.phase_deconv,
                 dtype=dtype,
                 name="netG",
             )
@@ -105,6 +106,7 @@ class SemanticCodec(nn.Module):
                 m.n_blocks_local,
                 m.norm,
                 fused=m.fused_instance_norm,
+                phase_deconv=m.phase_deconv,
                 dtype=dtype,
                 name="netG",
             )
@@ -122,6 +124,7 @@ class SemanticCodec(nn.Module):
                 binarizer_out_channels=m.encoder_binarizer_out_channels,
                 groups=m.netE_groups,
                 fused=m.fused_instance_norm,
+                phase_deconv=m.phase_deconv,
                 dtype=dtype,
                 name="netE",
             )
@@ -135,6 +138,7 @@ class SemanticCodec(nn.Module):
                 binarize=not m.no_label_encoder_binarization,
                 binarizer_out_channels=m.label_encoder_binarizer_out_channels,
                 fused=m.fused_instance_norm,
+                phase_deconv=m.phase_deconv,
                 dtype=dtype,
                 name="netE4label",
             )

@@ -49,6 +49,7 @@ class GlobalGenerator(nn.Module):
     bin_before_res: bool = False
     use_dropout: bool = False
     fused: bool = False
+    phase_deconv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -86,7 +87,7 @@ class GlobalGenerator(nn.Module):
         self.up = [
             ConvTransposeNormAct(
                 int(ngf * (2 ** (nd - i)) / 2), norm=self.norm, fused=self.fused,
-                dtype=self.dtype, name=f"up{i}",
+                phase_deconv=self.phase_deconv, dtype=self.dtype, name=f"up{i}",
             )
             for i in range(nd)
         ]
@@ -145,11 +146,15 @@ class ConvTransposeNormAct(nn.Module):
     features: int
     norm: str = "instance"
     fused: bool = False
+    phase_deconv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvTranspose(self.features, 3, 2, 1, 1, dtype=self.dtype, name="deconv")(x)
+        x = ConvTranspose(
+            self.features, 3, 2, 1, 1, phase_decomposed=self.phase_deconv,
+            dtype=self.dtype, name="deconv",
+        )(x)
         if self.fused and self.norm == "instance":
             return _fused_norm(x, relu=True)
         x = Norm(self.norm, dtype=self.dtype, name="norm")(x, train=train)
@@ -173,6 +178,7 @@ class LocalEnhancer(nn.Module):
     norm: str = "instance"
     padding_type: str = "reflect"
     fused: bool = False
+    phase_deconv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -188,6 +194,7 @@ class LocalEnhancer(nn.Module):
             self.norm,
             self.padding_type,
             fused=self.fused,
+            phase_deconv=self.phase_deconv,
             dtype=self.dtype,
             name="global",
         )
@@ -209,6 +216,7 @@ class LocalEnhancer(nn.Module):
                     self.padding_type,
                     final=(n == self.n_local_enhancers),
                     fused=self.fused,
+                    phase_deconv=self.phase_deconv,
                     dtype=self.dtype,
                     name=f"local{n}_up",
                 )
@@ -256,6 +264,7 @@ class LocalUpsample(nn.Module):
     padding_type: str = "reflect"
     final: bool = False
     fused: bool = False
+    phase_deconv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -266,7 +275,8 @@ class LocalUpsample(nn.Module):
                 dtype=self.dtype, name=f"res{i}",
             )(x, train=train)
         x = ConvTransposeNormAct(
-            self.ngf, self.norm, fused=self.fused, dtype=self.dtype, name="up"
+            self.ngf, self.norm, fused=self.fused, phase_deconv=self.phase_deconv,
+            dtype=self.dtype, name="up",
         )(x, train=train)
         if self.final:
             x = reflect_pad(x, 3)
@@ -291,6 +301,7 @@ class Encoder(nn.Module):
     binarizer_out_channels: int = 128
     groups: int = 1
     fused: bool = False
+    phase_deconv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -313,7 +324,8 @@ class Encoder(nn.Module):
         self.up = [
             GroupedConvTransposeNormAct(
                 int(self.ngf * (2 ** (self.n_downsampling - i)) / 2), g, self.norm,
-                fused=self.fused, dtype=self.dtype, name=f"up{i}",
+                fused=self.fused, phase_deconv=self.phase_deconv,
+                dtype=self.dtype, name=f"up{i}",
             )
             for i in range(self.n_downsampling)
         ]
@@ -356,12 +368,14 @@ class GroupedConvTransposeNormAct(nn.Module):
     groups: int = 1
     norm: str = "instance"
     fused: bool = False
+    phase_deconv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvTranspose(
-            self.features, 3, 2, 1, 1, groups=self.groups, dtype=self.dtype, name="deconv"
+            self.features, 3, 2, 1, 1, groups=self.groups,
+            phase_decomposed=self.phase_deconv, dtype=self.dtype, name="deconv",
         )(x)
         if self.fused and self.norm == "instance":
             return _fused_norm(x, relu=True)

@@ -114,6 +114,11 @@ class ConvTranspose(nn.Module):
     output_padding: int = 1
     groups: int = 1
     use_bias: bool = True
+    # compute the transposed conv as 4 dense per-output-phase convs + one
+    # depth-to-space interleave instead of an input-dilated conv (which puts
+    # 3/4 zeros through the MXU). Mathematically exact for the pix2pixHD
+    # geometry (k=3, s=2, p=1, op=1); other geometries fall back to dilated.
+    phase_decomposed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,6 +135,12 @@ class ConvTranspose(nn.Module):
             if self.use_bias
             else None
         )
+        if (
+            self.phase_decomposed
+            and (k, s, p, op) == (3, 2, 1, 1)
+            and self.groups == 1
+        ):
+            return self._phase_decomposed(x, kernel, bias)
         w = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
         pad = (k - 1 - p, k - 1 - p + op)
@@ -145,6 +156,44 @@ class ConvTranspose(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+    def _phase_decomposed(self, x, kernel, bias):
+        """y[2i+di, 2j+dj] from the 1-D tap map (ops/s2d.py
+        convT_s2_weights_to_s2d): di=0 -> g[1]; di=1 -> g[0] (this cell) +
+        g[2] (next cell). One k=2 VALID conv over the input padded (0, 1)
+        produces all 4 phases as channels; depth_to_space interleaves."""
+        from jpdse_tpu.ops.s2d import depth_to_space
+
+        g = jnp.flip(kernel, axis=(0, 1))  # effective correlation kernel
+        cin, cout = g.shape[2], g.shape[3]
+        zero = jnp.zeros_like(g[0, 0])
+        taps = {0: [(0, 1)], 1: [(0, 0), (1, 2)]}  # parity -> [(cell, tap)]
+        phases = []
+        for di in range(2):
+            for dj in range(2):
+                cells = {(0, 0): zero, (0, 1): zero, (1, 0): zero, (1, 1): zero}
+                for up, u in taps[di]:
+                    for vp, v in taps[dj]:
+                        cells[(up, vp)] = cells[(up, vp)] + g[u, v]
+                phases.append(
+                    jnp.stack(
+                        [
+                            jnp.stack([cells[(0, 0)], cells[(0, 1)]], axis=0),
+                            jnp.stack([cells[(1, 0)], cells[(1, 1)]], axis=0),
+                        ],
+                        axis=0,
+                    )
+                )
+        # (2, 2, cin, 4*cout), phase-major channel blocks (di*2+dj)
+        wp = jnp.concatenate(phases, axis=-1).astype(self.dtype)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 1), (0, 1), (0, 0)))
+        dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xp, wp, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn
+        )
+        if bias is not None:
+            y = y + jnp.tile(bias, 4).astype(self.dtype)
+        return depth_to_space(y)
 
 
 @functools.lru_cache(maxsize=64)

@@ -156,14 +156,23 @@ def convT_s2_weights_to_s2d(w: np.ndarray) -> np.ndarray:
 
 def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm over the *fine* (H, W) extent of an s2d tensor: stats are
-    shared across the 4 sub-position groups of each original channel."""
+    shared across the 4 sub-position groups of each original channel.
+
+    Implemented with per-channel moments reduced over (H, W) first, so the
+    phase-group combination happens on tiny (B, 4, C) stat tensors — no
+    (B, H, W, 4, C) relayout of the activation itself (that 5-D reshape costs
+    a full HBM round trip on TPU)."""
     b, h, w, c4 = x.shape
     c = c4 // 4
-    x32 = x.astype(jnp.float32).reshape(b, h, w, 4, c)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return y.reshape(b, h, w, c4).astype(x.dtype)
+    x32 = x.astype(jnp.float32)
+    n = h * w * 4
+    s1 = jnp.sum(x32, axis=(1, 2)).reshape(b, 4, c).sum(axis=1)  # (b, c)
+    s2 = jnp.sum(x32 * x32, axis=(1, 2)).reshape(b, 4, c).sum(axis=1)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
+    rstd4 = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
+    return ((x32 - mean4) * rstd4).astype(x.dtype)
 
 
 def conv_valid(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:

@@ -290,3 +290,26 @@ def test_batchnorm_matches_torch(rng):
     np.testing.assert_allclose(
         np.asarray(ours_eval), np.asarray(golden_eval), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("in_hw", [(8, 12), (7, 9)])
+def test_conv_transpose_phase_decomposed_matches_torch(rng, in_hw):
+    """Phase-decomposed ConvTranspose (4 dense convs + depth-to-space) is
+    exact vs torch ConvTranspose2d(3, 2, 1, output_padding=1)."""
+    from jpdse_tpu.models.layers import ConvTranspose
+
+    h, w = in_hw
+    x = rng.normal(size=(2, h, w, 4)).astype(np.float32)
+    m = ConvTranspose(features=6, phase_decomposed=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = m.apply(v, jnp.asarray(x))
+    assert ours.shape == (2, 2 * h, 2 * w, 6)
+    tconv = tnn.ConvTranspose2d(4, 6, 3, 2, 1, output_padding=1)
+    tconv.weight.data = convT_w_to_torch(v["params"]["kernel"])
+    tconv.bias.data = torch.from_numpy(np.asarray(v["params"]["bias"]))
+    golden = from_nchw(tconv(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=1e-5)
+
+    # and bit-consistent with the dilated implementation
+    dil = ConvTranspose(features=6).apply(v, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(dil), atol=1e-5)
