@@ -164,8 +164,11 @@ class ModelConfig:
     # fusion is insufficient).
     fused_instance_norm: bool = False
     # compute ConvTranspose2d(3,2,1,op=1) as 4 dense per-phase convs + one
-    # depth-to-space instead of an input-dilated conv (3/4 of whose MACs are
-    # zeros on the MXU). Exact (golden-tested); default set by measurement.
+    # depth-to-space instead of an input-dilated conv. Exact (golden-tested)
+    # but measured SLOWER on v5e (19.8 vs 24.3 MP/s decode A/B): XLA already
+    # lowers lhs-dilated convs efficiently, and the depth-to-space relayout
+    # costs more than the skipped zero-MACs. Default off; kept as a
+    # documented measurement and for backends where dilated convs are weak.
     phase_deconv: bool = False
 
 
@@ -202,6 +205,10 @@ class OptimConfig:
     lr_decay_patience: int = 5
     seed: Optional[int] = None
     fp16: bool = False  # reference apex AMP analog; here: bf16 compute
+    # rematerialize the generator forward in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
+    # HBM — enables large-batch / high-res training on one chip
+    remat: bool = False
 
 
 @dataclass

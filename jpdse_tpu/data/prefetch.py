@@ -28,20 +28,27 @@ def _put(batch: Dict, device=None, sharding=None) -> Dict:
 
 
 def prefetch_to_device(
-    iterable: Iterable[Dict], size: int = 2, device=None, sharding=None
+    iterable: Iterable[Dict], size: int = 2, device=None, sharding=None,
+    place_fn=None,
 ) -> Iterator[Dict]:
-    """Yield batches with up to ``size`` transfers in flight ahead."""
+    """Yield batches with up to ``size`` transfers in flight ahead.
+
+    ``place_fn(batch) -> batch`` overrides the default placement — e.g. the
+    trainer's mesh-aware sharding (Trainer._place)."""
+    place = place_fn if place_fn is not None else (
+        lambda b: _put(b, device, sharding)
+    )
     queue = []
     it = iter(iterable)
     try:
         for _ in range(size):
-            queue.append(_put(next(it), device, sharding))
+            queue.append(place(next(it)))
     except StopIteration:
         pass
     while queue:
         nxt: Optional[Dict] = None
         try:
-            nxt = _put(next(it), device, sharding)
+            nxt = place(next(it))
         except StopIteration:
             pass
         yield queue.pop(0)

@@ -72,8 +72,8 @@ def make_train_step(
     opt_g, opt_d = make_optimizers(cfg)
     use_lsgan = not cfg.model.no_lsgan
 
-    def g_loss_fn(params_g, params_d, mstate_g, mstate_d, inputs, rng):
-        out = codec.apply(
+    def _decode(params_g, mstate_g, inputs, rng):
+        return codec.apply(
             {"params": params_g, **mstate_g},
             inputs,
             train=True,
@@ -82,6 +82,26 @@ def make_train_step(
             method=SemanticCodec.decode,
             mutable=list(mstate_g) or False,
         )
+
+    def _disc_apply(params_d_and_mstate, x, keep):
+        return disc.apply(params_d_and_mstate, x, keep)
+
+    _vgg_apply = vgg_apply
+
+    if cfg.optim.remat:
+        # recompute forwards during backprop instead of saving activations —
+        # the jax.checkpoint analog of torch checkpointing. Covers the three
+        # big activation holders in the G loss: the decode, the D feature
+        # pyramids (kept live by the feature-matching loss), and the VGG
+        # slices. Measured: decode-only remat still OOMs batch 8 at 1024x512
+        # (18.0G vs 15.75G HBM).
+        _decode = jax.checkpoint(_decode)
+        _disc_apply = jax.checkpoint(_disc_apply, static_argnums=(2,))
+        if vgg_apply is not None:
+            _vgg_apply = jax.checkpoint(vgg_apply)
+
+    def g_loss_fn(params_g, params_d, mstate_g, mstate_d, inputs, rng):
+        out = _decode(params_g, mstate_g, inputs, rng)
         if mstate_g:
             (fake, input_label), new_mstate_g = out
         else:
@@ -90,11 +110,11 @@ def make_train_step(
         keep = L.match_raw_feat
         # D(fake) WITH grad into G (pix2pixHD_model.py:733); D running stats
         # are only advanced by the D update pass below, not these reads
-        pred_fake = disc.apply(
+        pred_fake = _disc_apply(
             {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
         )
         # D(real) for feature-matching targets (detached in the loss)
-        pred_real = disc.apply(
+        pred_real = _disc_apply(
             {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
         )
 
@@ -106,8 +126,8 @@ def make_train_step(
             else zero
         )
         l_vgg = (
-            vgg_loss(vgg_apply, fake, real)
-            if (not L.no_vgg_loss and vgg_apply is not None)
+            vgg_loss(_vgg_apply, fake, real)
+            if (not L.no_vgg_loss and _vgg_apply is not None)
             else zero
         )
         l_dist = (

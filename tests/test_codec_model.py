@@ -326,3 +326,36 @@ def test_code_and_contexts_layout(rng):
     # two binarized encoders at 16 channels each -> 32 distinct contexts
     assert ctx.min() == 0 and ctx.max() == 31
     assert set(np.unique(ctx)) == set(range(32))
+
+
+def test_remat_train_step_matches(rng):
+    """optim.remat (jax.checkpoint on the decode) changes memory, not math."""
+    from jpdse_tpu.models import build_discriminator
+    from jpdse_tpu.train.state import create_train_state
+
+    batch = tiny_batch(rng)
+    metrics = {}
+    states = {}
+    for remat in (False, True):
+        cfg = tiny_cfg(no_generator_binarization=True)
+        cfg.optim.remat = remat
+        cfg.loss.no_vgg_loss = True
+        codec, params_g, _ = init_codec(cfg, batch)
+        disc = build_discriminator(cfg)
+        d_in = jnp.zeros((1, H, W, cfg.netD_input_nc), jnp.float32)
+        params_d = disc.init(jax.random.PRNGKey(3), d_in)["params"]
+        state = create_train_state(cfg, params_g, params_d)
+        step = make_train_step(cfg, codec, disc, None, donate=False)
+        new_state, m = step(state, batch, jax.random.PRNGKey(7))
+        metrics[remat] = {k: float(v) for k, v in m.items()}
+        states[remat] = new_state
+    for k in metrics[False]:
+        assert abs(metrics[False][k] - metrics[True][k]) < 1e-4, (k, metrics)
+    # params after ONE Adam step: remat recomputes forwards with different
+    # float reassociation, and Adam normalizes tiny gradient deltas to
+    # O(lr)-scale update deltas — so bound by a small multiple of lr (2e-4),
+    # not float tolerance
+    for a, b in zip(
+        jax.tree.leaves(states[False].params_g), jax.tree.leaves(states[True].params_g)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -120,3 +120,37 @@ def test_prefetch_to_device(rng):
     assert len(out) == 5
     for a, b in zip(batches, out):
         np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+
+
+def test_mesh_from_config_opt_in():
+    from jpdse_tpu.config import ParallelConfig
+    from jpdse_tpu.parallel.mesh import mesh_from_config
+
+    # default: no mesh (single-device path)
+    assert mesh_from_config(ParallelConfig()) is None
+    # explicit DP degree
+    mesh = mesh_from_config(ParallelConfig(data_axis=4, spatial_axis=2))
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    # data=-1 -> all remaining devices
+    mesh = mesh_from_config(ParallelConfig(data_axis=-1, spatial_axis=2))
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    with np.testing.assert_raises(ValueError):
+        mesh_from_config(ParallelConfig(data_axis=16, spatial_axis=1))
+
+
+def test_shard_batch_flexible_degrades_indivisible():
+    from jpdse_tpu.parallel.mesh import make_mesh, shard_batch_flexible
+
+    mesh = make_mesh(4, 2)
+    batch = {
+        "image": np.zeros((4, 8, 16, 3), np.float32),   # B%4==0, H%2==0
+        "label": np.zeros((1, 8, 16), np.float32),      # B=1: replicate B
+        "odd_h": np.zeros((4, 7, 16, 3), np.float32),   # H%2!=0: replicate H
+    }
+    out = shard_batch_flexible(batch, mesh, shard_spatial=True)
+    img_spec = out["image"].sharding.spec
+    assert img_spec[0] == "data" and img_spec[1] == "spatial"
+    lab_spec = out["label"].sharding.spec
+    assert len(lab_spec) == 0 or lab_spec[0] is None  # replicated batch dim
+    odd = out["odd_h"].sharding.spec
+    assert odd[0] == "data" and (len(odd) < 2 or odd[1] is None)

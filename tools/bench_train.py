@@ -37,6 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--no-vgg", action="store_true")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     import __graft_entry__ as ge
@@ -49,6 +50,7 @@ def main():
     cfg = ge._flagship_cfg()
     if args.no_vgg:
         cfg.loss.no_vgg_loss = True
+    cfg.optim.remat = args.remat
 
     codec = SemanticCodec(cfg)
     params_g = ge._init_params(cfg, codec)
@@ -95,6 +97,7 @@ def main():
                 "batch": args.batch,
                 "sec_per_step": round(per_iter, 4),
                 "vgg": not cfg.loss.no_vgg_loss,
+                "remat": args.remat,
             }
         )
     )

@@ -79,8 +79,12 @@ def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer):
 
 
 def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
+    from jpdse_tpu.data.prefetch import prefetch_to_device
+
     start = time.time()
-    for i, batch in enumerate(loader):
+    # double-buffer host->device transfers (mesh-aware via trainer._place)
+    batches = prefetch_to_device(loader, size=2, place_fn=trainer._place)
+    for i, batch in enumerate(batches):
         metrics = trainer.step(batch)
         metrics_log.log(trainer.steps_taken, metrics, epoch=epoch)
         end = time.time()
