@@ -136,12 +136,31 @@ def main():
 
     import __graft_entry__ as entrymod
 
-    fn, (params, _) = entrymod.entry()
     rng = np.random.default_rng(0)
     from __graft_entry__ import _batch, _flagship_cfg
 
     cfg = _flagship_cfg()
     bench_batch = _batch(cfg, BATCH, H, W, rng)
+
+    metric_name = "encode_decode_throughput_1024x512"
+    if os.environ.get("JPDSE_FAST") == "1":
+        # benchmark the space-to-depth inference path: params init on HOST
+        # (device->host fetches crawl at ~100KB/s over the relay), weights
+        # host-transformed once, then passed as jit arguments
+        from jpdse_tpu.models.codec import SemanticCodec
+        from jpdse_tpu.models.fast_codec import FastCodec
+
+        codec = SemanticCodec(cfg)
+        with jax.default_device(jax.devices("cpu")[0]):
+            host_params = jax.tree.map(
+                np.asarray, entrymod._init_params(cfg, codec)
+            )
+        fast = FastCodec(cfg, host_params)
+        params = fast.weights
+        fn = fast.decode_fn
+        metric_name = "encode_decode_throughput_1024x512_fast"
+    else:
+        fn, (params, _) = entrymod.entry()
 
     # NOTE on timing: under the axon relay, block_until_ready is effectively
     # a no-op and device->host transfers are extremely slow, so we (a) chain
@@ -175,7 +194,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "encode_decode_throughput_1024x512",
+                "metric": metric_name,
                 "value": round(mps, 2),
                 "unit": "MP/s/chip",
                 "vs_baseline": round(mps / baseline, 2),

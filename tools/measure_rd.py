@@ -32,7 +32,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ext", default="jpg", choices=["jpg", "webp", "j2k", "bpg"])
+    ap.add_argument("--ext", default="jpg", choices=["jpg", "webp", "j2k", "avif", "heif", "bpg"])
     ap.add_argument("--qualities", default="30,50,70,90")
     ap.add_argument("--n-images", type=int, default=30)
     ap.add_argument("--ngf", type=int, default=64)
