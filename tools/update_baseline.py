@@ -39,6 +39,14 @@ def main():
         "sweep uses the jpg/webp operating points (same protocol, same code\n"
         "path: codecs/bridge.py). Parity bar: |dPSNR| <= 0.05 dB and\n"
         "|dMS-SSIM| <= 0.001 per point.\n\n"
+        "NOTE on absolute numbers: the weights are seeded reference-init\n"
+        "(the published pretrained checkpoints are not fetchable in this\n"
+        "zero-egress environment), so absolute PSNR reflects an untrained\n"
+        "generator — the table's claim is cross-stack parity at identical\n"
+        "weights, measured at full scale. Trained-quality progression is\n"
+        "demonstrated separately in artifacts/three_phase/SUMMARY.md\n"
+        "(PSNR 21.29 dB / MS-SSIM 0.839 after the reduced-scale 3-phase\n"
+        "recipe). bpp is weight-independent and real.\n\n"
         + header + "\n" + "\n".join(rows) + "\n"
     )
 
