@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--no-vgg", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--bf16-inputs", action="store_true",
+                    help="feed the batch in bf16 (halves the one-hot/VGG "
+                         "input-side activation memory)")
     args = ap.parse_args()
 
     import __graft_entry__ as ge
@@ -66,6 +69,9 @@ def main():
 
     step = make_train_step(cfg, codec, disc, vgg_apply, donate=False)
     batch = ge._batch(cfg, args.batch, H, W)
+    if args.bf16_inputs:
+        batch = {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
+                 for k, v in batch.items()}
 
     def chained(state, batch, n):
         def body(i, st):
@@ -98,6 +104,7 @@ def main():
                 "sec_per_step": round(per_iter, 4),
                 "vgg": not cfg.loss.no_vgg_loss,
                 "remat": args.remat,
+                "bf16_inputs": args.bf16_inputs,
             }
         )
     )
