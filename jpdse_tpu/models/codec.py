@@ -217,6 +217,48 @@ class SemanticCodec(nn.Module):
             for c in self.get_codes_shaped(inputs, deterministic=deterministic)
         ]
 
+    def decode_from_codes(self, codes: List[jax.Array], train: bool = False):
+        """Deploy-time decoder side: reconstruct the image from the binary
+        codes alone (the bitstream payload), with no access to the original
+        label/instance/image. Requires the fully-learned configuration (both
+        semantics and visuals ride through binarized encoders; the reference
+        never had this — its test.py dumped codes but could not decode them
+        back, test.py:98-110).
+
+        ``codes``: (B, h, w, C) arrays in {0, 1}, in get_codes_shaped order.
+        """
+        cfg, m = self.cfg, self.cfg.model
+        if not m.no_generator_binarization:
+            # G-bottleneck config: single code resumes the generator trunk
+            code_pm1 = codes[0] * 2.0 - 1.0
+            return self.netG.decode_from_code(code_pm1.astype(self.netG.dtype), train=train)
+        parts = []
+        i = 0
+        if cfg.use_netE4label and not m.no_label_encoder_binarization:
+            c = codes[i] * 2.0 - 1.0
+            parts.append(self.netE4label.decode_from_code(
+                c.astype(self.netE4label.dtype), train=train))
+            i += 1
+        else:
+            raise ValueError(
+                "decode_from_codes requires learned (binarized) semantics — "
+                "raw-semantics configs need the label map as side info"
+            )
+        if not m.no_feat:
+            if cfg.use_netE and not m.no_encoder_binarization:
+                c = codes[i] * 2.0 - 1.0
+                feat = self.netE.decode_from_code(c.astype(self.netE.dtype), train=train)
+                i += 1
+                if m.inst_wise_pool:
+                    raise ValueError("inst_wise_pool needs instance ids at decode time")
+                parts.append(feat.astype(parts[0].dtype))
+            else:
+                raise ValueError(
+                    "decode_from_codes requires learned (binarized) visuals"
+                )
+        concat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        return self.netG(concat, train=train)
+
     def get_codes_shaped(self, inputs, deterministic: bool = True) -> List[jax.Array]:
         """Binary codes in their native (B, h, w, C) layout, in {0,1} — the
         channel axis feeds the entropy coder's per-channel context model."""

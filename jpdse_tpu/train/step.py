@@ -324,6 +324,20 @@ def make_shaped_codes_fn(cfg: Config, codec: SemanticCodec):
     return jax.jit(codes)
 
 
+def make_decode_from_codes_fn(cfg: Config, codec: SemanticCodec):
+    """Deploy-time decoder: (params, mstate, codes) -> image, from the
+    bitstream payload alone (codec_io.py / SemanticCodec.decode_from_codes)."""
+
+    def fn(params_g, mstate_g, codes):
+        return codec.apply(
+            {"params": params_g, **mstate_g},
+            codes,
+            method=SemanticCodec.decode_from_codes,
+        )
+
+    return jax.jit(fn)
+
+
 def make_rate_fn(cfg: Config, codec: SemanticCodec):
     """Batched on-device rate eval: (params, mstate, batch) ->
     (shannon_bpp, actual_bpp) scalars, already averaged over the batch and

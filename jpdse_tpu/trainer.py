@@ -136,6 +136,7 @@ class Trainer:
         self._codes = make_codes_fn(cfg, self.codec)
         self._codes_shaped = make_shaped_codes_fn(cfg, self.codec)
         self._rate = make_rate_fn(cfg, self.codec)
+        self._decode_codes = None  # built lazily by decompress()
         self._rng = jax.random.PRNGKey(cfg.optim.seed or 0)
 
         if mode == "train" and cfg.optim.schedule_lr:
@@ -224,6 +225,35 @@ class Trainer:
             ctxs.append(np.tile(np.arange(n_ch, dtype=np.int32), n_spatial) + offset)
             offset += n_ch
         return np.concatenate(flats, axis=-1), np.concatenate(ctxs)
+
+    def compress(self, batch: Dict) -> List[bytes]:
+        """Per-image .jpds bitstreams (codec_io format): encoders -> binary
+        codes -> per-channel-context range coding. The deploy-time encoder."""
+        from jpdse_tpu import codec_io
+
+        shaped = self._codes_shaped(self.state.params_g, self._mg(), self._place(batch))
+        if not shaped:
+            raise ValueError("no binarized module in this configuration")
+        shaped = [np.asarray(c) for c in shaped]
+        h, w = batch["image"].shape[1:3]
+        out = []
+        for j in range(shaped[0].shape[0]):
+            out.append(codec_io.pack([c[j] for c in shaped], (h, w)))
+        return out
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        """Decode one .jpds bitstream back to an image (H, W, C), using only
+        the bitstream + model parameters. The deploy-time decoder."""
+        from jpdse_tpu import codec_io
+
+        if self._decode_codes is None:
+            from jpdse_tpu.train.step import make_decode_from_codes_fn
+
+            self._decode_codes = make_decode_from_codes_fn(self.cfg, self.codec)
+        codes, _ = codec_io.unpack(data)
+        codes = [jnp.asarray(c) for c in codes]
+        img = self._decode_codes(self.state.params_g, self._mg(), codes)
+        return np.asarray(img[0])
 
     def get_eval_rate(self, batch: Dict) -> Tuple[float, float]:
         """(shannon_bpp, actual_bpp) averaged over the batch, summed over
