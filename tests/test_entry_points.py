@@ -99,3 +99,57 @@ def test_train_cli_multichip_mesh(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     metrics = json.loads((out / "metrics.json").read_text())
     assert 0 < metrics["PSNR"] < 60
+
+
+LEARNED_TINY = (
+    "--dataset cityscapes --root_dir {root} --model pix2pixHD "
+    "--no_generator_binarization "
+    "--preprocess_mode fixed --load_size 128 --crop_size 128 "
+    "--val_preprocess_mode fixed --val_load_size 128 --val_crop_size 128 "
+    "--test_preprocess_mode fixed --test_load_size 128 --test_crop_size 128 "
+    "--ngf 8 --ndf 8 --nef 8 --ne4lf 8 --n_downsample_global 2 "
+    "--n_blocks_global 1 --n_downsample_E 2 --n_downsample_E4label 2 "
+    "--encoder_binarizer_out_channels 8 --label_encoder_binarizer_out_channels 8 "
+    "--label_encoder_out_channels 8 "
+    "--batch_size 2 --max_dataset_size 4 --no_vgg_loss --seed 0 --mode val "
+)
+
+
+def test_compress_decompress_cli(tmp_path):
+    """Deploy-time bitstream round trip through the real CLIs: train a tiny
+    learned codec, compress the set to .jpds files, reconstruct from the
+    bitstreams + checkpoint alone."""
+    save = tmp_path / "run"
+    r = run(
+        "train.py",
+        LEARNED_TINY.format(root=CITYSCAPES_ROOT)
+        + f"--num_epochs 1 --always_save --save_dir {save}",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    bits = tmp_path / "bits"
+    r = run(
+        "compress.py",
+        f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
+        f"--save_dir {bits} --root_dir {CITYSCAPES_ROOT} --mode val "
+        f"--max_dataset_size 2",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    jpds = sorted(bits.glob("*.jpds"))
+    assert len(jpds) == 2
+    summary = json.loads((bits / "compress_summary.json").read_text())
+    assert 0 < summary["avg_bpp"] < 8.0
+
+    recon = tmp_path / "recon"
+    r = run(
+        "decompress.py",
+        f"--input {bits} --load_opt --opt_file {save}/opt.json "
+        f"--checkpoints_dir {save} --save_dir {recon}",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    pngs = sorted(recon.glob("*.png"))
+    assert len(pngs) == 2
+    from PIL import Image
+
+    img = Image.open(pngs[0])
+    assert img.size == (128, 64)  # fixed mode, aspect 2.0
