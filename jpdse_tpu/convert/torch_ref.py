@@ -157,3 +157,78 @@ def torch_decode(gen: RefGlobalGenerator, gen_input_nhwc: np.ndarray) -> np.ndar
     t = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
     y = gen(t)
     return y.numpy().transpose(0, 2, 3, 1)
+
+
+class RefBinarizer(tnn.Module):
+    """Binarizer spec (quantizers/binarize.py:44-54): bias-free 1x1 conv +
+    tanh + sign (deterministic eval form, binarize.py:36-41). Checkpoint key
+    layout: ``<idx>.conv.weight``."""
+
+    def __init__(self, in_ch: int, out_ch: int):
+        super().__init__()
+        self.conv = tnn.Conv2d(in_ch, out_ch, 1, bias=False)
+
+    def forward(self, x):
+        return torch.sign(torch.tanh(self.conv(x)))
+
+
+class RefEncoder(tnn.Module):
+    """Encoder spec (networks.py:307-338, ungrouped): ReflectionPad(3) + 7x7
+    conv + IN + ReLU, n strided 3x3 convs, Binarizer, mirrored
+    ConvTranspose2d(3,2,1,op=1) ups, ReflectionPad(3) + 7x7 conv + Tanh.
+    ``self.model`` matches reference checkpoint keys (net_E.pth /
+    net_E4label.pth)."""
+
+    def __init__(self, input_nc, output_nc, nef=64, n_downsampling=4,
+                 binarizer_out_channels=128):
+        super().__init__()
+        layers = [
+            tnn.ReflectionPad2d(3),
+            tnn.Conv2d(input_nc, nef, 7),
+            tnn.InstanceNorm2d(nef, affine=False),
+            tnn.ReLU(True),
+        ]
+        for i in range(n_downsampling):
+            m = 2**i
+            layers += [
+                tnn.Conv2d(nef * m, nef * m * 2, 3, 2, 1),
+                tnn.InstanceNorm2d(nef * m * 2, affine=False),
+                tnn.ReLU(True),
+            ]
+        layers.append(RefBinarizer(nef * 2**n_downsampling, binarizer_out_channels))
+        up_in = binarizer_out_channels
+        for i in range(n_downsampling):
+            m = 2 ** (n_downsampling - i)
+            layers += [
+                tnn.ConvTranspose2d(up_in, nef * m // 2, 3, 2, 1, output_padding=1),
+                tnn.InstanceNorm2d(nef * m // 2, affine=False),
+                tnn.ReLU(True),
+            ]
+            up_in = nef * m // 2
+        layers += [tnn.ReflectionPad2d(3), tnn.Conv2d(nef, output_nc, 7), tnn.Tanh()]
+        self.model = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.model(x)
+
+
+class RefLearnedCodec(tnn.Module):
+    """The fully-learned flagship: binarized label encoder + binarized visual
+    encoder feeding the global generator (channel arithmetic per
+    pix2pixHD_model.py:117-183 with label/feat encoding on)."""
+
+    def __init__(self, semantic_nc=35, input_nc=3, label_out=36, feat_num=3,
+                 ngf=64, nef=64, ne4lf=64, n_down=4, enc_bits=128,
+                 lab_bits=128, n_blocks=9, seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.netE4label = RefEncoder(semantic_nc + 1, label_out, ne4lf, n_down, lab_bits)
+        self.netE = RefEncoder(input_nc, feat_num, nef, n_down, enc_bits)
+        self.netG = RefGlobalGenerator(label_out + feat_num, 3, ngf, n_down, n_blocks)
+        self.apply(reference_weights_init)
+        self.eval()
+
+    def forward(self, one_hot_edge, image):
+        lab = self.netE4label(one_hot_edge)
+        feat = self.netE(image)
+        return self.netG(torch.cat([lab, feat], 1))

@@ -202,8 +202,14 @@ class FastCodec:
 
     def __init__(self, cfg: Config, params_g: Dict, dtype=None):
         m = cfg.model
-        if m.netG != "global" or m.netE_groups != 1 or m.inst_wise_pool or m.sem_masking:
-            raise ValueError("FastCodec supports the global/ungrouped configuration")
+        if (
+            m.netG != "global" or m.netE_groups != 1 or m.inst_wise_pool
+            or m.sem_masking or m.norm != "instance"
+        ):
+            raise ValueError(
+                "FastCodec supports the global/ungrouped/instance-norm "
+                "configuration (the flagship); other configs use SemanticCodec"
+            )
         self.cfg = cfg
         dtype = dtype or (
             jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32

@@ -110,3 +110,87 @@ def test_full_model_rd_parity():
 
     assert max(d_psnr) <= 0.05, f"PSNR diverged: {d_psnr}"
     assert max(d_msssim) <= 0.001, f"MS-SSIM diverged: {d_msssim}"
+
+
+def test_learned_codec_checkpoint_import_parity(tmp_path):
+    """The fully-learned flagship (binarized label + visual encoders -> G)
+    imported through the real reference-checkpoint flow
+    (import_reference_checkpoint on net_G.pth / net_E.pth / net_E4label.pth)
+    matches the from-spec torch stack on real bundled data."""
+    import torch
+
+    from jpdse_tpu.convert.torch_import import import_reference_checkpoint
+    from jpdse_tpu.models.codec import SemanticCodec as SC
+
+    cfg = Config()
+    cfg.mode = "val"
+    cfg.is_train = False
+    cfg.data.dataset = "cityscapes"
+    apply_dataset_defaults(cfg)
+    cfg.data.root_dir = CITYSCAPES_ROOT
+    cfg.data.num_workers = 0
+    cfg.data.max_dataset_size = 1
+    cfg.data.preprocess = PreprocessConfig("fixed", 256, 256, 2.0)
+    m = cfg.model
+    m.no_generator_binarization = True
+    m.ngf = m.nef = m.ne4lf = 16
+    m.n_downsample_global = m.n_downsample_E = m.n_downsample_E4label = 2
+    m.n_blocks_global = 2
+    m.label_encoder_out_channels = 12
+    m.encoder_binarizer_out_channels = 16
+    m.label_encoder_binarizer_out_channels = 16
+    cfg.validate()
+    sem_nc = cfg.data.semantic_nc
+
+    golden = torch_ref.RefLearnedCodec(
+        semantic_nc=sem_nc, label_out=12, feat_num=m.feat_num,
+        ngf=16, nef=16, ne4lf=16, n_down=2, enc_bits=16, lab_bits=16,
+        n_blocks=2, seed=0,
+    )
+    # write a reference-layout checkpoint directory and import it
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    torch.save(golden.netG.state_dict(), ckpt / "net_G.pth")
+    torch.save(golden.netE.state_dict(), ckpt / "net_E.pth")
+    torch.save(golden.netE4label.state_dict(), ckpt / "net_E4label.pth")
+
+    codec = SC(cfg)
+    loader = create_dataloader(cfg)
+    batch = next(iter(loader))
+    inputs = prepare_inputs(
+        cfg,
+        jnp.asarray(batch["label"]),
+        jnp.asarray(batch["instance"]),
+        jnp.asarray(batch["image"]),
+    )
+    import jax
+
+    template = codec.init(
+        {"params": jax.random.PRNGKey(0), "binarize": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        inputs, method=SC.decode,
+    )["params"]
+    params = import_reference_checkpoint(str(ckpt), cfg, template)
+
+    fake_j, _ = codec.apply({"params": params}, inputs, method=SC.decode)
+    fake_j = np.asarray(fake_j)[0]
+
+    with torch.no_grad():
+        oh = torch_ref.phase2_generator_input(
+            np.asarray(batch["label"])[0], np.asarray(batch["instance"])[0],
+            np.zeros_like(np.asarray(batch["image"])[0]), sem_nc,
+        )[..., : sem_nc + 1]  # one-hot + edge only
+        lab_t = torch.from_numpy(oh.transpose(2, 0, 1)[None])
+        img_t = torch.from_numpy(
+            np.asarray(batch["image"])[0].transpose(2, 0, 1)[None]
+        )
+        fake_t = golden(lab_t, img_t).numpy()[0].transpose(1, 2, 0)
+
+    # binarized bottlenecks snap activations to {-1, 1}, so tiny float
+    # differences cannot flip bits except exactly at 0 — expect tight parity
+    np.testing.assert_allclose(fake_j, fake_t, atol=5e-4)
+    mse_delta = abs(
+        float(np.mean((fake_j - np.asarray(batch["image"])[0]) ** 2))
+        - float(np.mean((fake_t - np.asarray(batch["image"])[0]) ** 2))
+    )
+    assert mse_delta < 1e-6
