@@ -209,6 +209,11 @@ class OptimConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
     # HBM — enables large-batch / high-res training on one chip
     remat: bool = False
+    # evaluate the VGG perceptual loss N images at a time (lax.map):
+    # mathematically identical (mean of equal-chunk means), but the fp32 VGG
+    # activations — the peak-memory driver of the GAN step — only ever exist
+    # for one chunk. 0 = whole batch at once.
+    vgg_chunk: int = 0
 
 
 @dataclass

@@ -22,6 +22,7 @@ whose downloads run ~100KB/s).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -34,11 +35,17 @@ from jpdse_tpu.models.layers import instance_norm, reflect_pad
 from jpdse_tpu.ops.s2d import (
     conv_s1_weights_to_s2d,
     conv_s2_weights_from_s2d_nopad,
+    conv_tap_split,
     conv_valid,
     convT_s2_weights_to_s2d,
     depth_to_space,
+    fold_hw_taps,
+    fold_w_taps,
     instance_norm_s2d,
     space_to_depth,
+    weights_fold_hw,
+    weights_fold_w,
+    weights_tap_split,
 )
 
 
@@ -71,7 +78,24 @@ class _FastTrunk:
         # payload, which the remote-compile relay rejects for ~180MB graphs)
         w: Dict[str, Any] = {}
         w7, b7 = conv_wb(p["head"]["conv"])
-        w["head_w"] = jnp.asarray(conv_s1_weights_to_s2d(w7), dtype)
+        wp_head = conv_s1_weights_to_s2d(w7)
+        self.head_kp = wp_head.shape[0]
+        c4 = wp_head.shape[2]  # s2d input channels (4x fine)
+        # Tap-fold mode for the head conv (see ops/s2d.py fold_w_taps): the
+        # per-tap MXU contraction pads C to the next 128 lanes, so fold width
+        # taps into channels when that rounds K up to an aligned multiple.
+        # c4 >= 128 (netG 160 -> K 640, netE4label 144 -> 576): fold width
+        # only; tiny c4 (netE 12): fold all taps (K 192) — the 16x input copy
+        # is cheap at 12 channels. JPDSE_HEAD_FOLD=0 restores the plain conv.
+        if os.environ.get("JPDSE_HEAD_FOLD", "1") == "0":
+            self.head_fold = "none"
+            w["head_w"] = jnp.asarray(wp_head, dtype)
+        elif c4 >= 128:
+            self.head_fold = "w"
+            w["head_w"] = jnp.asarray(weights_fold_w(wp_head), dtype)
+        else:
+            self.head_fold = "hw"
+            w["head_w"] = jnp.asarray(weights_fold_hw(wp_head), dtype)
         w["head_b"] = jnp.asarray(_tile4(b7), dtype)
 
         w_d0, b_d0 = conv_wb(p["down0"]["conv"])
@@ -111,7 +135,22 @@ class _FastTrunk:
 
         wt = _np(p["tail"]["conv"]["kernel"])
         bt = _np(p["tail"]["conv"]["bias"])
-        w["tail_w"] = jnp.asarray(conv_s1_weights_to_s2d(wt), dtype)
+        wt_p = conv_s1_weights_to_s2d(wt)
+        self.tail_kp = wt_p.shape[0]
+        # Tap-split the tail conv when its s2d output width is MXU-starved
+        # (12 of 128 lanes for RGB tails — ~10.5 TFLOP/s measured): the
+        # 1x1-conv + shift-add form (ops/s2d.py conv_tap_split) keeps the
+        # matmul N at kh*kw*Cout (192). JPDSE_TAIL_SPLIT=0 restores the
+        # direct conv.
+        ntaps = self.tail_kp * self.tail_kp
+        self.tail_split = (
+            os.environ.get("JPDSE_TAIL_SPLIT", "1") == "1"
+            and ntaps * wt_p.shape[-1] <= 256
+        )
+        if self.tail_split:
+            w["tail_w"] = jnp.asarray(weights_tap_split(wt_p), dtype)
+        else:
+            w["tail_w"] = jnp.asarray(wt_p, dtype)
         w["tail_b"] = jnp.asarray(_tile4(bt), dtype)
 
         if binarize != "none":
@@ -123,6 +162,10 @@ class _FastTrunk:
         """fine input -> normal-domain tensor after down0 (H/2, W/2, C1)."""
         x = x.astype(self.dtype)
         xp = space_to_depth(reflect_pad(x, 3))
+        if self.head_fold == "w":
+            xp = fold_w_taps(xp, self.head_kp)
+        elif self.head_fold == "hw":
+            xp = fold_hw_taps(xp, self.head_kp, self.head_kp)
         h = conv_valid(xp, w["head_w"]) + w["head_b"]
         h = jax.nn.relu(instance_norm_s2d(h))
         h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
@@ -168,7 +211,11 @@ class _FastTrunk:
         y = jax.nn.relu(instance_norm_s2d(y))
         y_fine = depth_to_space(y)
         yp = space_to_depth(reflect_pad(y_fine, 3))
-        out = jnp.tanh(conv_valid(yp, w["tail_w"]) + w["tail_b"])
+        if self.tail_split:
+            t = conv_tap_split(yp, w["tail_w"], self.tail_kp, self.tail_kp)
+        else:
+            t = conv_valid(yp, w["tail_w"])
+        out = jnp.tanh(t + w["tail_b"])
         return depth_to_space(out)
 
     # -- full passes ----------------------------------------------------

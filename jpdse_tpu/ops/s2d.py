@@ -154,6 +154,83 @@ def convT_s2_weights_to_s2d(w: np.ndarray) -> np.ndarray:
     return wp
 
 
+def fold_w_taps(x: jax.Array, kw: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W-kw+1, kw*C): stack the kw width-shifted views
+    along channels, so a (kh, kw) VALID conv becomes a (kh, 1) VALID conv with
+    kw*C input channels.
+
+    Why: the MXU contracts over 128-wide lane groups; a conv's per-tap
+    contraction of C=160 channels pads to 256 lanes (62.5% useful — exactly
+    the measured 98/158 TFLOP/s of the s2d head conv). Folding the width taps
+    into channels makes the per-tap K = kw*C (640 for the flagship head =
+    5x128, 100% useful) at the cost of one bandwidth-bound relayout."""
+    w_out = x.shape[2] - kw + 1
+    return jnp.concatenate([x[:, :, v : v + w_out, :] for v in range(kw)], axis=-1)
+
+
+def fold_hw_taps(x: jax.Array, kh: int, kw: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H-kh+1, W-kw+1, kh*kw*C): full im2col fold — the
+    conv becomes a 1x1 conv (single matmul with K = kh*kw*C). Materializes
+    kh*kw copies of the input, so only worth it for tiny C (the visual
+    encoder's 12-channel s2d head: K 12 -> 192)."""
+    h_out = x.shape[1] - kh + 1
+    w_out = x.shape[2] - kw + 1
+    return jnp.concatenate(
+        [
+            x[:, u : u + h_out, v : v + w_out, :]
+            for u in range(kh)
+            for v in range(kw)
+        ],
+        axis=-1,
+    )
+
+
+def weights_fold_w(wp: np.ndarray) -> np.ndarray:
+    """(kh, kw, Cin, Cout) -> (kh, 1, kw*Cin, Cout) matching fold_w_taps's
+    channel layout (v-major: folded channel = v*Cin + c)."""
+    kh, kw, cin, cout = wp.shape
+    return wp.reshape(kh, 1, kw * cin, cout)
+
+
+def weights_fold_hw(wp: np.ndarray) -> np.ndarray:
+    """(kh, kw, Cin, Cout) -> (1, 1, kh*kw*Cin, Cout) matching fold_hw_taps
+    ((u, v)-major: folded channel = (u*kw + v)*Cin + c)."""
+    kh, kw, cin, cout = wp.shape
+    return wp.reshape(1, 1, kh * kw * cin, cout)
+
+
+def weights_tap_split(wp: np.ndarray) -> np.ndarray:
+    """(kh, kw, Cin, Cout) -> (Cin, kh*kw*Cout) for the tap-split conv
+    decomposition (see :func:`conv_tap_split`): output channel
+    (u*kw + v)*Cout + co holds tap (u, v)'s contribution."""
+    kh, kw, cin, cout = wp.shape
+    return wp.transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+
+
+def conv_tap_split(x: jax.Array, w1: jax.Array, kh: int, kw: int) -> jax.Array:
+    """VALID conv computed as a 1x1 conv over all taps + a fused shift-add.
+
+    Why: the MXU pads conv output channels to 128 lanes, so a tail conv with
+    12 s2d outputs runs at ~9% N-utilization (~10.5 TFLOP/s measured). With
+    ``w1 = weights_tap_split(w)`` the matmul produces kh*kw*Cout channels
+    (192 for the flagship tail — MXU-efficient), and the conv's spatial
+    accumulation becomes kh*kw shifted slice-adds (one bandwidth-bound
+    fusion). Accumulation over taps is fp32.
+    """
+    b, hp, wp_, k = x.shape
+    cout = w1.shape[-1] // (kh * kw)
+    z = jax.lax.dot_general(
+        x, w1, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ho, wo = hp - kh + 1, wp_ - kw + 1
+    out = jnp.zeros((b, ho, wo, cout), jnp.float32)
+    for u in range(kh):
+        for v in range(kw):
+            t = (u * kw + v) * cout
+            out = out + z[:, u : u + ho, v : v + wo, t : t + cout]
+    return out.astype(x.dtype)
+
+
 def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm over the *fine* (H, W) extent of an s2d tensor: stats are
     shared across the 4 sub-position groups of each original channel.

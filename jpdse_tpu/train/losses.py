@@ -66,6 +66,27 @@ def vgg_loss(vgg_apply, fake: jax.Array, real: jax.Array) -> jax.Array:
     return loss
 
 
+def vgg_loss_chunked(
+    vgg_apply, fake: jax.Array, real: jax.Array, chunk: int
+) -> jax.Array:
+    """:func:`vgg_loss` evaluated ``chunk`` images at a time under
+    ``jax.lax.map`` — mathematically identical (each slice loss is a
+    ``jnp.mean`` over equally-shaped chunks, so the mean of chunk means equals
+    the full-batch mean), but the VGG activations (fp32, the peak-memory
+    driver of the GAN step at 1024x512) only ever exist for one chunk.
+    ``chunk`` is clamped to the largest divisor of the batch size."""
+    b = fake.shape[0]
+    if chunk <= 0 or chunk >= b:
+        return vgg_loss(vgg_apply, fake, real)
+    while b % chunk != 0:
+        chunk -= 1
+    n = b // chunk
+    fr = fake.reshape(n, chunk, *fake.shape[1:])
+    rr = real.reshape(n, chunk, *real.shape[1:])
+    losses = jax.lax.map(lambda p: vgg_loss(vgg_apply, p[0], p[1]), (fr, rr))
+    return jnp.mean(losses)
+
+
 def distortion_loss(fake: jax.Array, real: jax.Array, kind: str = "l1") -> jax.Array:
     f = fake.astype(jnp.float32)
     r = real.astype(jnp.float32)

@@ -30,6 +30,7 @@ from jpdse_tpu.train.losses import (
     feature_matching_loss,
     gan_loss,
     vgg_loss,
+    vgg_loss_chunked,
 )
 from jpdse_tpu.train.state import GANTrainState, make_optimizers
 
@@ -126,7 +127,7 @@ def make_train_step(
             else zero
         )
         l_vgg = (
-            vgg_loss(_vgg_apply, fake, real)
+            vgg_loss_chunked(_vgg_apply, fake, real, cfg.optim.vgg_chunk)
             if (not L.no_vgg_loss and _vgg_apply is not None)
             else zero
         )

@@ -80,3 +80,60 @@ def test_instance_norm_s2d_matches_fine(rng):
     want = instance_norm(x)
     got = depth_to_space(instance_norm_s2d(space_to_depth(x)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestTapFolds:
+    """fold_w_taps / fold_hw_taps + matching weight reshapes == direct conv."""
+
+    def test_fold_w_matches_direct(self):
+        import numpy as np
+
+        from jpdse_tpu.ops.s2d import (
+            conv_valid,
+            fold_w_taps,
+            weights_fold_w,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 9, 13, 20)).astype(np.float32))
+        w = rng.normal(size=(4, 4, 20, 8)).astype(np.float32)
+        direct = conv_valid(x, jnp.asarray(w))
+        folded = conv_valid(fold_w_taps(x, 4), jnp.asarray(weights_fold_w(w)))
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fold_hw_matches_direct(self):
+        import numpy as np
+
+        from jpdse_tpu.ops.s2d import (
+            conv_valid,
+            fold_hw_taps,
+            weights_fold_hw,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 9, 13, 3)).astype(np.float32))
+        w = rng.normal(size=(4, 4, 3, 8)).astype(np.float32)
+        direct = conv_valid(x, jnp.asarray(w))
+        folded = conv_valid(
+            fold_hw_taps(x, 4, 4), jnp.asarray(weights_fold_hw(w))
+        )
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_tap_split_matches_direct(self):
+        import numpy as np
+
+        from jpdse_tpu.ops.s2d import (
+            conv_tap_split,
+            conv_valid,
+            weights_tap_split,
+        )
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 9, 13, 16)).astype(np.float32))
+        w = rng.normal(size=(4, 4, 16, 12)).astype(np.float32)
+        direct = conv_valid(x, jnp.asarray(w))
+        split = conv_tap_split(x, jnp.asarray(weights_tap_split(w)), 4, 4)
+        np.testing.assert_allclose(np.asarray(split), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)

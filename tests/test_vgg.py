@@ -89,3 +89,29 @@ def test_init_vgg19_weights_path(tmp_path):
     got = np.asarray(variables["params"]["conv1_1"]["kernel"])
     want = sd["0.weight"].transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_vgg_loss_chunked_matches_full():
+    """vgg_loss_chunked == vgg_loss in value AND gradient (it is the same
+    math, just evaluated chunk-at-a-time under lax.map)."""
+    import jax
+
+    from jpdse_tpu.train.losses import vgg_loss, vgg_loss_chunked
+
+    model, variables = init_vgg19(0, None)
+    vgg_apply = lambda x: model.apply(variables, x)  # noqa: E731
+
+    rng = np.random.default_rng(3)
+    fake = jnp.asarray(rng.normal(size=(4, 16, 32, 3)).astype(np.float32))
+    real = jnp.asarray(rng.normal(size=(4, 16, 32, 3)).astype(np.float32))
+
+    full = vgg_loss(vgg_apply, fake, real)
+    for chunk in (1, 2, 3, 4):  # 3 clamps to the divisor 2
+        got = vgg_loss_chunked(vgg_apply, fake, real, chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full), rtol=2e-6)
+
+    g_full = jax.grad(lambda f: vgg_loss(vgg_apply, f, real))(fake)
+    g_chunk = jax.grad(lambda f: vgg_loss_chunked(vgg_apply, f, real, 1))(fake)
+    np.testing.assert_allclose(
+        np.asarray(g_chunk), np.asarray(g_full), rtol=1e-4, atol=1e-7
+    )

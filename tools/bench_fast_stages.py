@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=9)
+    ap.add_argument("--trunk", default="netG", choices=["netG", "netE", "netE4label"],
+                    help="netG: generator trunk (default); netE/netE4label: "
+                         "binarized encoder trunks (3 / 36 input channels)")
+    ap.add_argument("--fronts-only", action="store_true",
+                    help="only measure the front stages (head-conv A/B runs)")
     args = ap.parse_args()
     B = args.batch
     global H, W
@@ -78,24 +83,33 @@ def main():
 
     from jpdse_tpu.config import Config, apply_dataset_defaults
     from jpdse_tpu.models.fast_codec import _FastTrunk
-    from jpdse_tpu.models.generator import GlobalGenerator
+    from jpdse_tpu.models.generator import Encoder, GlobalGenerator
     from jpdse_tpu.ops import s2d as S
 
     cfg = Config()
     cfg.data.dataset = "cityscapes"
     apply_dataset_defaults(cfg)
     cfg.model.no_generator_binarization = True
-    in_nc = 39  # phase-2: 35 one-hot + edge + 3 visuals
     ngf, nd, nb = args.ngf, 4, args.blocks
-
-    # standard generator (fused norm off: isolate layout effects)
-    gen = GlobalGenerator(in_nc, 3, ngf, nd, nb, fused=False, dtype=DTYPE)
     rng = np.random.default_rng(0)
+
+    if args.trunk == "netG":
+        in_nc = 39  # phase-2: 35 one-hot + edge + 3 visuals
+        # standard generator (fused norm off: isolate layout effects)
+        gen = GlobalGenerator(in_nc, 3, ngf, nd, nb, fused=False, dtype=DTYPE)
+        bin_mode = "none"
+    else:
+        in_nc = 3 if args.trunk == "netE" else 36
+        gen = Encoder(in_nc, in_nc, ngf, nd, binarize=True,
+                      binarizer_out_channels=128, fused=False, dtype=DTYPE)
+        bin_mode = "mid"
+        nb = 0
     x_fine = jnp.asarray(rng.normal(size=(B, H, W, in_nc)).astype(np.float32), DTYPE)
     params = gen.init(jax.random.PRNGKey(0), x_fine)["params"]
 
-    fast = _FastTrunk(params, nd, nb, "none", DTYPE)
+    fast = _FastTrunk(params, nd, nb, bin_mode, DTYPE)
     w = fast.weights
+    print(f"trunk={args.trunk} in_nc={in_nc} head_fold={fast.head_fold}", flush=True)
 
     results = {}
 
@@ -107,6 +121,21 @@ def main():
 
     # control: loop overhead on the fine input
     rec("control_fine", lambda w_, x: x, x_fine)
+
+    if args.fronts_only:
+        # head-conv A/B: folded front (current head_fold mode) vs std front
+        rec(f"fast_front[{fast.head_fold}]", fast.front, x_fine, w)
+
+        def std_front(p, x):
+            return gen.apply(
+                {"params": p}, x,
+                method=lambda m, x: m.down[0](m.head(x)),
+            )
+
+        rec("std_front(head+down0)", std_front, x_fine, params)
+        print(json.dumps({"batch": B, "trunk": args.trunk,
+                          "head_fold": fast.head_fold, "ms": results}))
+        return
 
     # raw re-layouts
     rec("s2d_fine_input", lambda w_, x: S.space_to_depth(x), x_fine)
@@ -122,6 +151,9 @@ def main():
     h1 = fast.front(w, x_fine)
     rec("fast_mid_down", fast.mid_down, h1, w)
     h2 = fast.mid_down(w, h1)
+    if bin_mode != "none":
+        rec("fast_binarizer", fast.apply_binarizer, h2, w)
+        h2 = fast.apply_binarizer(w, h2)
     rec("fast_res_blocks", fast.res_blocks, h2, w)
     rec("fast_mid_up", fast.mid_up, h2, w)
     h3 = fast.mid_up(w, h2)

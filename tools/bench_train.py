@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--bf16-inputs", action="store_true",
                     help="feed the batch in bf16 (halves the one-hot/VGG "
                          "input-side activation memory)")
+    ap.add_argument("--vgg-chunk", type=int, default=0,
+                    help="evaluate the VGG loss N images at a time "
+                         "(exact; divides fp32 VGG peak memory by B/N)")
     args = ap.parse_args()
 
     import __graft_entry__ as ge
@@ -54,6 +57,7 @@ def main():
     if args.no_vgg:
         cfg.loss.no_vgg_loss = True
     cfg.optim.remat = args.remat
+    cfg.optim.vgg_chunk = args.vgg_chunk
 
     codec = SemanticCodec(cfg)
     params_g = ge._init_params(cfg, codec)
@@ -105,6 +109,7 @@ def main():
                 "vgg": not cfg.loss.no_vgg_loss,
                 "remat": args.remat,
                 "bf16_inputs": args.bf16_inputs,
+                "vgg_chunk": args.vgg_chunk,
             }
         )
     )
