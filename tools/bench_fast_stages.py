@@ -75,6 +75,8 @@ def main():
                          "binarized encoder trunks (3 / 36 input channels)")
     ap.add_argument("--fronts-only", action="store_true",
                     help="only measure the front stages (head-conv A/B runs)")
+    ap.add_argument("--backs-only", action="store_true",
+                    help="only measure the back stages (tail-conv A/B runs)")
     args = ap.parse_args()
     B = args.batch
     global H, W
@@ -135,6 +137,29 @@ def main():
         rec("std_front(head+down0)", std_front, x_fine, params)
         print(json.dumps({"batch": B, "trunk": args.trunk,
                           "head_fold": fast.head_fold, "ms": results}))
+        return
+
+    if args.backs_only:
+        # tail-conv A/B: fast back (current tail_split mode) vs std back
+        c_last = w["uplast_w"].shape[2]
+        h3 = jnp.asarray(
+            rng.normal(size=(B, H // 2, W // 2, c_last)).astype(np.float32), DTYPE
+        )
+        rec(f"fast_back[split={fast.tail_split}]", fast.back, h3, w)
+
+        from jpdse_tpu.models.layers import reflect_pad
+
+        def std_back(p, h):
+            def go(m, h):
+                h = m.up[nd - 1](h)
+                h = reflect_pad(h, 3)
+                return jnp.tanh(m.tail(h))
+
+            return gen.apply({"params": p}, h, method=go)
+
+        rec("std_back(uplast+tail)", std_back, h3, params)
+        print(json.dumps({"batch": B, "trunk": args.trunk,
+                          "tail_split": fast.tail_split, "ms": results}))
         return
 
     # raw re-layouts
