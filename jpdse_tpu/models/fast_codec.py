@@ -289,9 +289,17 @@ class FastCodec:
     def decode_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> jax.Array:
         """Pure function of (weights, batch) — jit this."""
         cfg, m = self.cfg, self.cfg.model
+        # cast visuals to the compute dtype BEFORE preprocessing: the one-hot
+        # scatter and the 40-channel concat then run in bf16 (the 0/1 one-hot
+        # and edge values are exact in bf16, and the image cast happens in
+        # front() anyway — bit-identical output, ~half the HBM traffic on the
+        # full-resolution input assembly)
+        dt = self.netG.dtype
+        comp = batch.get("compressed")
         inputs = prepare_inputs(
-            cfg, batch.get("label"), batch.get("instance"), batch["image"],
-            batch.get("compressed"),
+            cfg, batch.get("label"), batch.get("instance"),
+            batch["image"].astype(dt),
+            comp.astype(dt) if comp is not None else None,
         )
         input_label = inputs["input_label"]
         vis = inputs["compressed_img"] if cfg.codec.use_compressed else inputs["real_image"]
@@ -317,9 +325,12 @@ class FastCodec:
 
     def codes_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> List[jax.Array]:
         cfg, m = self.cfg, self.cfg.model
+        dt = self.netG.dtype
+        comp = batch.get("compressed")
         inputs = prepare_inputs(
-            cfg, batch.get("label"), batch.get("instance"), batch["image"],
-            batch.get("compressed"),
+            cfg, batch.get("label"), batch.get("instance"),
+            batch["image"].astype(dt),
+            comp.astype(dt) if comp is not None else None,
         )
         codes = []
 
