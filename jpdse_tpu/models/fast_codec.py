@@ -81,13 +81,13 @@ class _FastTrunk:
         wp_head = conv_s1_weights_to_s2d(w7)
         self.head_kp = wp_head.shape[0]
         c4 = wp_head.shape[2]  # s2d input channels (4x fine)
-        # Tap-fold mode for the head conv (see ops/s2d.py fold_w_taps): the
-        # per-tap MXU contraction pads C to the next 128 lanes, so fold width
-        # taps into channels when that rounds K up to an aligned multiple.
-        # c4 >= 128 (netG 160 -> K 640, netE4label 144 -> 576): fold width
-        # only; tiny c4 (netE 12): fold all taps (K 192) — the 16x input copy
-        # is cheap at 12 channels. JPDSE_HEAD_FOLD=0 restores the plain conv.
-        if os.environ.get("JPDSE_HEAD_FOLD", "1") == "0":
+        # Tap-fold mode for the head conv (see ops/s2d.py fold_w_taps).
+        # MEASURED REGRESSION (v5e, batch 8, 1024x512): netG front 27.0 ms
+        # folded vs 20.7 unfolded; netE hw-fold 26.8 vs 14.1 std — XLA's conv
+        # lowering already handles the per-tap K padding better than the
+        # fold's extra relayout costs. Default OFF; JPDSE_HEAD_FOLD=1 enables
+        # (w-fold for c4 >= 128, full hw-fold below).
+        if os.environ.get("JPDSE_HEAD_FOLD", "0") == "0":
             self.head_fold = "none"
             w["head_w"] = jnp.asarray(wp_head, dtype)
         elif c4 >= 128:
