@@ -94,6 +94,12 @@ def make_parser() -> Tuple[argparse.ArgumentParser, Dict[str, Tuple[str, object]
     parser.add_argument("--load_opt", action="store_true", help="reload a saved config as defaults")
     parser.add_argument("--opt_file", type=str, default=None, help="saved config json")
     parser.add_argument("--gpu_ids", type=str, default=None, help="ignored (TPU framework); kept for recipe compatibility")
+    # reference flags that are dead or hardware-specific there, accepted so
+    # reference invocations run unchanged: --data_type 16 selected fp16 label
+    # tensors (pix2pixHD_model.py:384-385; bf16 compute covers it here);
+    # --local_rank was parsed but never read (pix2pixHD_model.py:55)
+    parser.add_argument("--data_type", type=int, default=None, help="ignored (bf16 compute); kept for recipe compatibility")
+    parser.add_argument("--local_rank", type=int, default=None, help="ignored (dead flag in the reference); kept for recipe compatibility")
     return parser, index
 
 
