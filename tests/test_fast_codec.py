@@ -72,3 +72,20 @@ def test_fast_decode_flagship_bpg_style(rng):
     fast = FastCodec(cfg, variables["params"], dtype=jnp.float32)
     got = fast.decode(batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fast_decode_env_variants(rng, monkeypatch):
+    """The env-gated layouts (head tap-folds ON, tail tap-split OFF) stay
+    numerically equivalent — they are A/B'd on hardware, so both branches
+    must keep working."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    want, _ = codec.apply({"params": params}, inputs, method=SemanticCodec.decode)
+
+    monkeypatch.setenv("JPDSE_HEAD_FOLD", "1")
+    monkeypatch.setenv("JPDSE_TAIL_SPLIT", "0")
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    assert fast.netG.head_fold in ("w", "hw") and not fast.netG.tail_split
+    got = fast.decode(batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
