@@ -19,10 +19,10 @@ import time
 
 import numpy as np
 
-# batch 8 roughly doubles MXU utilization on the low-channel full-res convs
-# vs batch 2 (measured: 24.3 vs 11.8 MP/s on v5e); JPDSE_BENCH_BATCH probes
-# other sizes
-H, W, BATCH = 512, 1024, int(os.environ.get("JPDSE_BENCH_BATCH", "8"))
+# larger batches lift MXU utilization on the low-channel full-res convs
+# (measured fast path on v5e: 11.8 MP/s @ b2 -> 33.63 @ b8 -> 34.32 @ b16);
+# JPDSE_BENCH_BATCH probes other sizes
+H, W, BATCH = 512, 1024, int(os.environ.get("JPDSE_BENCH_BATCH", "16"))
 WARMUP, ITERS = 3, 10
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 

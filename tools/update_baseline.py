@@ -35,9 +35,11 @@ def main():
         f"spec in torch, identical imported weights) evaluated with the reference\n"
         f"protocol on the bundled {n}-image Cityscapes val set at 1024x512,\n"
         "phase-2 inference configuration. bpp is the real base-codec bitstream\n"
-        "(bytes*8/pixels). BPG binaries are absent from this environment, so the\n"
-        "sweep uses the jpg/webp operating points (same protocol, same code\n"
-        "path: codecs/bridge.py). Parity bar: |dPSNR| <= 0.05 dB and\n"
+        "(bytes*8/pixels). The bpg rows run the reference's exact BPG quality\n"
+        "factors {33,36,39,42} through the in-process HEVC-intra codec\n"
+        "(bpgenc/bpgdec binaries are absent; BPG is HEVC intra, mapped\n"
+        "q_heif = 100 - 2*q_bpg - codecs/bridge.py); jpg/webp points use PIL\n"
+        "(same protocol, same code path). Parity bar: |dPSNR| <= 0.05 dB and\n"
         "|dMS-SSIM| <= 0.001 per point.\n\n"
         "NOTE on absolute numbers: the weights are seeded reference-init\n"
         "(the published pretrained checkpoints are not fetchable in this\n"
