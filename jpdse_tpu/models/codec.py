@@ -75,6 +75,7 @@ class SemanticCodec(nn.Module):
         cfg, m = self.cfg, self.cfg.model
         cfg.validate()
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
+        remat = cfg.optim.remat  # block-granular remat (generator.py setup)
         if m.netG == "global":
             self.netG = GlobalGenerator(
                 cfg.netG_input_nc,
@@ -89,6 +90,7 @@ class SemanticCodec(nn.Module):
                 use_dropout=m.use_dropout,
                 fused=m.fused_instance_norm,
                 phase_deconv=m.phase_deconv,
+                remat=remat,
                 dtype=dtype,
                 name="netG",
             )
@@ -107,6 +109,7 @@ class SemanticCodec(nn.Module):
                 m.norm,
                 fused=m.fused_instance_norm,
                 phase_deconv=m.phase_deconv,
+                remat=remat,
                 dtype=dtype,
                 name="netG",
             )
@@ -125,6 +128,7 @@ class SemanticCodec(nn.Module):
                 groups=m.netE_groups,
                 fused=m.fused_instance_norm,
                 phase_deconv=m.phase_deconv,
+                remat=remat,
                 dtype=dtype,
                 name="netE",
             )
@@ -139,6 +143,7 @@ class SemanticCodec(nn.Module):
                 binarizer_out_channels=m.label_encoder_binarizer_out_channels,
                 fused=m.fused_instance_norm,
                 phase_deconv=m.phase_deconv,
+                remat=remat,
                 dtype=dtype,
                 name="netE4label",
             )

@@ -36,6 +36,7 @@ from jpdse_tpu.ops.s2d import (
     conv_s1_weights_to_s2d,
     conv_s2_weights_from_s2d_nopad,
     conv_tap_split,
+    conv_tap_split_w,
     conv_valid,
     convT_s2_weights_to_s2d,
     depth_to_space,
@@ -46,6 +47,7 @@ from jpdse_tpu.ops.s2d import (
     weights_fold_hw,
     weights_fold_w,
     weights_tap_split,
+    weights_tap_split_w,
 )
 
 
@@ -143,12 +145,22 @@ class _FastTrunk:
         # matmul N at kh*kw*Cout (192). JPDSE_TAIL_SPLIT=0 restores the
         # direct conv.
         ntaps = self.tail_kp * self.tail_kp
-        self.tail_split = (
-            os.environ.get("JPDSE_TAIL_SPLIT", "1") == "1"
-            and ntaps * wt_p.shape[-1] <= 256
-        )
-        if self.tail_split:
+        cout4 = wt_p.shape[-1]
+
+        def _pad128_eff(n):
+            return n / (-(-n // 128) * 128)
+
+        self.tail_split = "none"
+        if os.environ.get("JPDSE_TAIL_SPLIT", "1") == "1":
+            if ntaps * cout4 <= 256:
+                self.tail_split = "full"  # e.g. RGB tails: N 12 -> 192
+            elif _pad128_eff(self.tail_kp * cout4) > _pad128_eff(cout4) + 0.1:
+                # e.g. netE4label: N 144 (56% of padded lanes) -> 576 (90%)
+                self.tail_split = "w"
+        if self.tail_split == "full":
             w["tail_w"] = jnp.asarray(weights_tap_split(wt_p), dtype)
+        elif self.tail_split == "w":
+            w["tail_w"] = jnp.asarray(weights_tap_split_w(wt_p), dtype)
         else:
             w["tail_w"] = jnp.asarray(wt_p, dtype)
         w["tail_b"] = jnp.asarray(_tile4(bt), dtype)
@@ -211,8 +223,10 @@ class _FastTrunk:
         y = jax.nn.relu(instance_norm_s2d(y))
         y_fine = depth_to_space(y)
         yp = space_to_depth(reflect_pad(y_fine, 3))
-        if self.tail_split:
+        if self.tail_split == "full":
             t = conv_tap_split(yp, w["tail_w"], self.tail_kp, self.tail_kp)
+        elif self.tail_split == "w":
+            t = conv_tap_split_w(yp, w["tail_w"], self.tail_kp)
         else:
             t = conv_valid(yp, w["tail_w"])
         out = jnp.tanh(t + w["tail_b"])

@@ -50,16 +50,28 @@ class GlobalGenerator(nn.Module):
     use_dropout: bool = False
     fused: bool = False
     phase_deconv: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         ngf, nd = self.ngf, self.n_downsampling
-        self.head = ConvNormAct(
+        # Block-granular rematerialization: checkpointing the WHOLE decode
+        # (one jax.checkpoint around it) still holds every internal residual
+        # simultaneously during the recomputed backward — measured peak at
+        # batch 4/1024x512 was 3x ~1GB f32 full-res temps. Wrapping each
+        # block means the backward only ever holds one block's residuals
+        # plus the (bf16) block-boundary activations.
+        CNA, Res, CTNA = ConvNormAct, ResnetBlock, ConvTransposeNormAct
+        if self.remat:
+            CNA = nn.remat(ConvNormAct, static_argnums=(1,))
+            Res = nn.remat(ResnetBlock, static_argnums=(1, 2))
+            CTNA = nn.remat(ConvTransposeNormAct, static_argnums=(1,))
+        self.head = CNA(
             ngf, 7, reflect=3, norm=self.norm, fused=self.fused,
             dtype=self.dtype, name="head"
         )
         self.down = [
-            ConvNormAct(
+            CNA(
                 ngf * (2**i) * 2, 3, stride=2, padding=1, norm=self.norm,
                 fused=self.fused, dtype=self.dtype, name=f"down{i}",
             )
@@ -78,14 +90,14 @@ class GlobalGenerator(nn.Module):
             )
             del bin_in_dim  # shape inferred by flax; retained for clarity
         self.res = [
-            ResnetBlock(
+            Res(
                 res_dim, self.padding_type, self.norm, self.use_dropout,
                 fused=self.fused, dtype=self.dtype, name=f"res{i}",
             )
             for i in range(self.n_blocks)
         ]
         self.up = [
-            ConvTransposeNormAct(
+            CTNA(
                 int(ngf * (2 ** (nd - i)) / 2), norm=self.norm, fused=self.fused,
                 phase_deconv=self.phase_deconv, dtype=self.dtype, name=f"up{i}",
             )
@@ -94,21 +106,23 @@ class GlobalGenerator(nn.Module):
         self.tail = TConv(self.output_nc, 7, dtype=self.dtype, name="tail")
 
     # -- trunk pieces ---------------------------------------------------
+    # (block args are positional: jax.checkpoint static_argnums requires
+    # positional passing, and flax offsets them past the module instance)
     def _front(self, x, train, deterministic):
-        h = self.head(x, train=train)
+        h = self.head(x, train)
         for blk in self.down:
-            h = blk(h, train=train)
+            h = blk(h, train)
         if self.binarize and self.bin_before_res:
             h = self.binarizer(h, deterministic=deterministic)
         for blk in self.res:
-            h = blk(h, train=train)
+            h = blk(h, train, True)
         if self.binarize and not self.bin_before_res:
             h = self.binarizer(h, deterministic=deterministic)
         return h
 
     def _back(self, h, train):
         for blk in self.up:
-            h = blk(h, train=train)
+            h = blk(h, train)
         h = reflect_pad(h, 3)
         return jnp.tanh(self.tail(h))
 
@@ -120,13 +134,13 @@ class GlobalGenerator(nn.Module):
         (replaces the index-arithmetic slice at networks.py:252-261)."""
         if not self.binarize:
             raise AttributeError("GlobalGenerator: no binarizer found")
-        h = self.head(x, train=train)
+        h = self.head(x, train)
         for blk in self.down:
-            h = blk(h, train=train)
+            h = blk(h, train)
         if self.bin_before_res:
             return self.binarizer(h, deterministic=deterministic)
         for blk in self.res:
-            h = blk(h, train=train)
+            h = blk(h, train, True)
         return self.binarizer(h, deterministic=deterministic)
 
     def decode_from_code(self, code, train: bool = False):
@@ -136,7 +150,7 @@ class GlobalGenerator(nn.Module):
         h = code
         if self.bin_before_res:
             for blk in self.res:
-                h = blk(h, train=train)
+                h = blk(h, train, True)
         return self._back(h, train)
 
 
@@ -179,10 +193,15 @@ class LocalEnhancer(nn.Module):
     padding_type: str = "reflect"
     fused: bool = False
     phase_deconv: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         ngf_global = self.ngf * (2**self.n_local_enhancers)
+        LD, LU = LocalDownsample, LocalUpsample
+        if self.remat:  # block-granular remat, see GlobalGenerator.setup
+            LD = nn.remat(LocalDownsample, static_argnums=(1,))
+            LU = nn.remat(LocalUpsample, static_argnums=(1,))
         # global trunk *without* its final reflect-pad/conv7/tanh
         # (networks.py:152-153 drops the last 3 layers)
         self.global_gen = GlobalGenerator(
@@ -195,6 +214,7 @@ class LocalEnhancer(nn.Module):
             self.padding_type,
             fused=self.fused,
             phase_deconv=self.phase_deconv,
+            remat=self.remat,
             dtype=self.dtype,
             name="global",
         )
@@ -202,13 +222,13 @@ class LocalEnhancer(nn.Module):
         for n in range(1, self.n_local_enhancers + 1):
             ngf_g = self.ngf * (2 ** (self.n_local_enhancers - n))
             downs.append(
-                LocalDownsample(
+                LD(
                     ngf_g, self.norm, fused=self.fused, dtype=self.dtype,
                     name=f"local{n}_down",
                 )
             )
             ups.append(
-                LocalUpsample(
+                LU(
                     ngf_g,
                     self.output_nc,
                     self.n_blocks_local,
@@ -231,7 +251,7 @@ class LocalEnhancer(nn.Module):
         # coarsest level through the global trunk (minus its tail)
         h = self.global_gen._front(pyramid[-1], train, deterministic)
         for blk in self.global_gen.up:
-            h = blk(h, train=train)
+            h = blk(h, train)
         for n in range(self.n_local_enhancers):
             inp = pyramid[self.n_local_enhancers - 1 - n]
             h = self.local_ups[n](self.local_downs[n](inp, train) + h, train)
@@ -302,16 +322,21 @@ class Encoder(nn.Module):
     groups: int = 1
     fused: bool = False
     phase_deconv: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         g = self.groups
-        self.head = ConvNormAct(
+        CNA, GCT = ConvNormAct, GroupedConvTransposeNormAct
+        if self.remat:  # block-granular remat, see GlobalGenerator.setup
+            CNA = nn.remat(ConvNormAct, static_argnums=(1,))
+            GCT = nn.remat(GroupedConvTransposeNormAct, static_argnums=(1,))
+        self.head = CNA(
             self.ngf, 7, reflect=3, groups=g, norm=self.norm, fused=self.fused,
             dtype=self.dtype, name="head"
         )
         self.down = [
-            ConvNormAct(
+            CNA(
                 self.ngf * (2**i) * 2, 3, stride=2, padding=1, groups=g,
                 norm=self.norm, fused=self.fused, dtype=self.dtype, name=f"down{i}",
             )
@@ -322,7 +347,7 @@ class Encoder(nn.Module):
                 self.binarizer_out_channels, groups=g, dtype=self.dtype, name="binarizer"
             )
         self.up = [
-            GroupedConvTransposeNormAct(
+            GCT(
                 int(self.ngf * (2 ** (self.n_downsampling - i)) / 2), g, self.norm,
                 fused=self.fused, phase_deconv=self.phase_deconv,
                 dtype=self.dtype, name=f"up{i}",
@@ -349,16 +374,16 @@ class Encoder(nn.Module):
         return out
 
     def encode(self, x, train: bool = False, deterministic: bool = True):
-        h = self.head(x, train=train)
+        h = self.head(x, train)
         for blk in self.down:
-            h = blk(h, train=train)
+            h = blk(h, train)
         if self.binarize:
             h = self.binarizer(h, deterministic=deterministic)
         return h
 
     def decode_from_code(self, h, train: bool = False):
         for blk in self.up:
-            h = blk(h, train=train)
+            h = blk(h, train)
         h = reflect_pad(h, 3)
         return jnp.tanh(self.tail(h))
 

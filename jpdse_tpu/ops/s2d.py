@@ -231,6 +231,32 @@ def conv_tap_split(x: jax.Array, w1: jax.Array, kh: int, kw: int) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def weights_tap_split_w(wp: np.ndarray) -> np.ndarray:
+    """(kh, kw, Cin, Cout) -> (kh, 1, Cin, kw*Cout) for the width-only
+    tap-split (see :func:`conv_tap_split_w`): output channel v*Cout + co
+    holds width-tap v's contribution."""
+    kh, kw, cin, cout = wp.shape
+    return wp.transpose(0, 2, 1, 3).reshape(kh, 1, cin, kw * cout)
+
+
+def conv_tap_split_w(x: jax.Array, w1: jax.Array, kw: int) -> jax.Array:
+    """VALID conv as a (kh, 1) conv over all width taps + fused shift-add.
+
+    The partial split for tails whose Cout is large enough that the full
+    16-way split (:func:`conv_tap_split`) would blow up memory but still
+    pads badly to 128 output lanes (netE4label: 144 -> 56% useful; split
+    N = 4*144 = 576 -> 90%). Accumulation over width taps is fp32.
+    """
+    cout = w1.shape[-1] // kw
+    z = conv_valid(x, w1)  # (B, Ho, Wp, kw*Cout)
+    wo = z.shape[2] - kw + 1
+    out = jnp.zeros(z.shape[:2] + (wo, cout), jnp.float32)
+    for v in range(kw):
+        t = v * cout
+        out = out + z[:, :, v : v + wo, t : t + cout].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm over the *fine* (H, W) extent of an s2d tensor: stats are
     shared across the 4 sub-position groups of each original channel.

@@ -91,12 +91,13 @@ def make_train_step(
 
     if cfg.optim.remat:
         # recompute forwards during backprop instead of saving activations —
-        # the jax.checkpoint analog of torch checkpointing. Covers the three
-        # big activation holders in the G loss: the decode, the D feature
-        # pyramids (kept live by the feature-matching loss), and the VGG
-        # slices. Measured: decode-only remat still OOMs batch 8 at 1024x512
-        # (18.0G vs 15.75G HBM).
-        _decode = jax.checkpoint(_decode)
+        # the jax.checkpoint analog of torch checkpointing. The decode is
+        # rematted at BLOCK granularity inside the generator/encoder modules
+        # (codec.py passes cfg.optim.remat; see generator.py setup): one
+        # whole-decode jax.checkpoint still held every internal residual
+        # simultaneously during its backward (measured: 3x ~1GB f32 full-res
+        # temps at batch 4). D feature pyramids (kept live by the
+        # feature-matching loss) and VGG slices stay whole-function remats.
         _disc_apply = jax.checkpoint(_disc_apply, static_argnums=(2,))
         if vgg_apply is not None:
             _vgg_apply = jax.checkpoint(vgg_apply)

@@ -86,6 +86,6 @@ def test_fast_decode_env_variants(rng, monkeypatch):
     monkeypatch.setenv("JPDSE_HEAD_FOLD", "1")
     monkeypatch.setenv("JPDSE_TAIL_SPLIT", "0")
     fast = FastCodec(cfg, params, dtype=jnp.float32)
-    assert fast.netG.head_fold in ("w", "hw") and not fast.netG.tail_split
+    assert fast.netG.head_fold in ("w", "hw") and fast.netG.tail_split == "none"
     got = fast.decode(batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

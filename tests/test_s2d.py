@@ -137,3 +137,20 @@ class TestTapFolds:
         split = conv_tap_split(x, jnp.asarray(weights_tap_split(w)), 4, 4)
         np.testing.assert_allclose(np.asarray(split), np.asarray(direct),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_tap_split_w_matches_direct(self):
+        import numpy as np
+
+        from jpdse_tpu.ops.s2d import (
+            conv_tap_split_w,
+            conv_valid,
+            weights_tap_split_w,
+        )
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 9, 13, 16)).astype(np.float32))
+        w = rng.normal(size=(4, 4, 16, 18)).astype(np.float32)
+        direct = conv_valid(x, jnp.asarray(w))
+        split = conv_tap_split_w(x, jnp.asarray(weights_tap_split_w(w)), 4)
+        np.testing.assert_allclose(np.asarray(split), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)
