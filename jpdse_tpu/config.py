@@ -170,6 +170,13 @@ class ModelConfig:
     # costs more than the skipped zero-MACs. Default off; kept as a
     # documented measurement and for backends where dilated convs are weak.
     phase_deconv: bool = False
+    # route deterministic inference (get_img / get_code / compress) through
+    # the space-to-depth optimized path (models/fast_codec.py — the measured
+    # production default of bench.py: 33.6 vs 24.3 MP/s/chip at batch 8).
+    # Eval-only; numerically equivalent up to bf16 reassociation
+    # (tests/test_fast_codec.py); requires the global/ungrouped/instance-norm
+    # family and a single device (falls back to the standard path otherwise).
+    fast_inference: bool = False
 
 
 @dataclass

@@ -299,10 +299,9 @@ class FastCodec:
         if self.netE4label is not None:
             self.weights["netE4label"] = self.netE4label.weights
         self._jit_decode = None
+        self._jit_codes_shaped = None
 
-    def decode_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> jax.Array:
-        """Pure function of (weights, batch) — jit this."""
-        cfg, m = self.cfg, self.cfg.model
+    def _inputs(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         # cast visuals to the compute dtype BEFORE preprocessing: the one-hot
         # scatter and the 40-channel concat then run in bf16 (the 0/1 one-hot
         # and edge values are exact in bf16, and the image cast happens in
@@ -310,55 +309,74 @@ class FastCodec:
         # full-resolution input assembly)
         dt = self.netG.dtype
         comp = batch.get("compressed")
-        inputs = prepare_inputs(
-            cfg, batch.get("label"), batch.get("instance"),
+        return prepare_inputs(
+            self.cfg, batch.get("label"), batch.get("instance"),
             batch["image"].astype(dt),
             comp.astype(dt) if comp is not None else None,
         )
+
+    def _vis(self, inputs):
+        if self.cfg.codec.use_compressed:
+            return inputs["compressed_img"]
+        return inputs["real_image"]
+
+    def _concat(self, weights: Dict, inputs) -> jax.Array:
+        """The generator's input (label features ++ visual features)."""
+        m = self.cfg.model
         input_label = inputs["input_label"]
-        vis = inputs["compressed_img"] if cfg.codec.use_compressed else inputs["real_image"]
         if self.netE4label is not None:
             input_label = self.netE4label(weights["netE4label"], input_label)
         feat = None
         if not m.no_feat:
+            vis = self._vis(inputs)
             feat = self.netE(weights["netE"], vis) if self.netE is not None else vis
         if feat is None:
-            concat = input_label
-        elif input_label is None:
-            concat = feat
-        else:
-            concat = jnp.concatenate(
-                [input_label, feat.astype(input_label.dtype)], axis=-1
-            )
-        return self.netG(weights["netG"], concat)
+            return input_label
+        if input_label is None:
+            return feat
+        return jnp.concatenate([input_label, feat.astype(input_label.dtype)], axis=-1)
+
+    def decode_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Pure function of (weights, batch) — jit this."""
+        inputs = self._inputs(batch)
+        return self.netG(weights["netG"], self._concat(weights, inputs))
 
     def decode(self, batch: Dict[str, jax.Array]) -> jax.Array:
         if self._jit_decode is None:
             self._jit_decode = jax.jit(self.decode_fn)
         return self._jit_decode(self.weights, batch)
 
-    def codes_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> List[jax.Array]:
-        cfg, m = self.cfg, self.cfg.model
-        dt = self.netG.dtype
-        comp = batch.get("compressed")
-        inputs = prepare_inputs(
-            cfg, batch.get("label"), batch.get("instance"),
-            batch["image"].astype(dt),
-            comp.astype(dt) if comp is not None else None,
-        )
+    def codes_shaped_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> List[jax.Array]:
+        """Binary codes in native (B, h, w, C) {0,1} layout, in the same order
+        as SemanticCodec.get_codes_shaped (netE4label, netE, G-bottleneck)."""
+        m = self.cfg.model
+        inputs = self._inputs(batch)
         codes = []
 
-        def flat01(c):
-            return (c.reshape(c.shape[0], -1) + 1.0) / 2.0
+        def to01(c):
+            return (c + 1.0) / 2.0
 
         if self.netE4label is not None and not m.no_label_encoder_binarization:
             codes.append(
-                flat01(self.netE4label.encode(weights["netE4label"], inputs["input_label"]))
+                to01(self.netE4label.encode(weights["netE4label"], inputs["input_label"]))
             )
-        vis = inputs["compressed_img"] if cfg.codec.use_compressed else inputs["real_image"]
         if self.netE is not None and not m.no_encoder_binarization:
-            codes.append(flat01(self.netE.encode(weights["netE"], vis)))
+            codes.append(to01(self.netE.encode(weights["netE"], self._vis(inputs))))
+        if not m.no_generator_binarization:
+            concat = self._concat(weights, inputs)
+            codes.append(to01(self.netG.encode(weights["netG"], concat)))
         return codes
+
+    def codes_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> List[jax.Array]:
+        return [
+            c.reshape(c.shape[0], -1)
+            for c in self.codes_shaped_fn(weights, batch)
+        ]
 
     def get_codes(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
         return self.codes_fn(self.weights, batch)
+
+    def get_codes_shaped(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
+        if self._jit_codes_shaped is None:
+            self._jit_codes_shaped = jax.jit(self.codes_shaped_fn)
+        return self._jit_codes_shaped(self.weights, batch)

@@ -89,3 +89,41 @@ def test_fast_decode_env_variants(rng, monkeypatch):
     assert fast.netG.head_fold in ("w", "hw") and fast.netG.tail_split == "none"
     got = fast.decode(batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_trainer_fast_inference_flag(rng, tmp_path):
+    """--fast_inference routes get_img / get_code / compress through FastCodec
+    and matches the standard path; unsupported configs fall back cleanly."""
+    from jpdse_tpu.trainer import Trainer
+
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.model.compute_dtype = "float32"  # exact comparison on CPU
+    cfg.save_dir = str(tmp_path)
+    cfg.is_train = False
+    batch = {k: np.asarray(v) for k, v in tiny_batch(rng).items()}
+
+    t_std = Trainer(cfg, mode="test", sample_batch=batch)
+    assert t_std._fast is None
+
+    import dataclasses
+
+    cfg_f = dataclasses.replace(cfg)
+    cfg_f.model = dataclasses.replace(cfg.model, fast_inference=True)
+    t_fast = Trainer(cfg_f, mode="test", sample_batch=batch)
+    # same seed => same init params; fast path must be active
+    assert t_fast._fast is not None
+    np.testing.assert_allclose(
+        t_fast.get_img(batch), t_std.get_img(batch), atol=2e-4
+    )
+    np.testing.assert_array_equal(t_fast.get_code(batch), t_std.get_code(batch))
+    s_f = t_fast.compress(batch)
+    s_s = t_std.compress(batch)
+    assert [bytes(a) for a in s_f] == [bytes(b) for b in s_s]
+
+    # unsupported config (grouped encoder) falls back to the standard path
+    cfg_u = tiny_cfg(no_generator_binarization=True, sem_masking=True)
+    cfg_u.model = dataclasses.replace(cfg_u.model, fast_inference=True)
+    cfg_u.save_dir = str(tmp_path)
+    cfg_u.is_train = False
+    t_u = Trainer(cfg_u, mode="test", sample_batch=batch)
+    assert t_u._fast is None
