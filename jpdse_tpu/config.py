@@ -216,6 +216,13 @@ class OptimConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(depth) less activation
     # HBM — enables large-batch / high-res training on one chip
     remat: bool = False
+    # remat granularity. "block": nn.remat around every conv/res/deconv block
+    # (generator.py setup) — lowest peak memory, the only way batch >= 4 fits
+    # at 1024x512 (measured 1.735 MP/s at batch 4; whole-decode remat OOMs).
+    # "decode": one jax.checkpoint around the whole decode — slightly faster
+    # when the batch already fits (measured 1.805 vs 1.667 MP/s at batch 2)
+    # but holds every decode residual at once during its backward.
+    remat_granularity: str = "block"  # block | decode
     # evaluate the VGG perceptual loss N images at a time (lax.map):
     # mathematically identical (mean of equal-chunk means), but the fp32 VGG
     # activations — the peak-memory driver of the GAN step — only ever exist

@@ -75,7 +75,8 @@ class SemanticCodec(nn.Module):
         cfg, m = self.cfg, self.cfg.model
         cfg.validate()
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
-        remat = cfg.optim.remat  # block-granular remat (generator.py setup)
+        # block-granular remat (generator.py setup; optim.remat_granularity)
+        remat = cfg.optim.remat and cfg.optim.remat_granularity == "block"
         if m.netG == "global":
             self.netG = GlobalGenerator(
                 cfg.netG_input_nc,

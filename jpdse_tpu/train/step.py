@@ -98,6 +98,8 @@ def make_train_step(
         # simultaneously during its backward (measured: 3x ~1GB f32 full-res
         # temps at batch 4). D feature pyramids (kept live by the
         # feature-matching loss) and VGG slices stay whole-function remats.
+        if cfg.optim.remat_granularity == "decode":
+            _decode = jax.checkpoint(_decode)
         _disc_apply = jax.checkpoint(_disc_apply, static_argnums=(2,))
         if vgg_apply is not None:
             _vgg_apply = jax.checkpoint(vgg_apply)
