@@ -28,12 +28,20 @@ MAGIC = b"JPDS"
 VERSION = 1
 
 
-def _contexts_for(shapes: Sequence[Tuple[int, int, int]]) -> np.ndarray:
+def contexts_for_shapes(shapes: Sequence[Tuple[int, int, int]]) -> np.ndarray:
+    """Per-bit context ids for the range coder's per-channel adaptive models:
+    context = channel index within its code, offset so different codes never
+    share a context. THE single definition — the .jpds encoder/decoder and
+    the eval harness's .rc streams must all derive contexts identically or
+    the adaptive models desynchronize."""
     ctxs, offset = [], 0
     for h, w, c in shapes:
         ctxs.append(np.tile(np.arange(c, dtype=np.int32), h * w) + offset)
         offset += c
     return np.concatenate(ctxs) if ctxs else np.zeros(0, np.int32)
+
+
+_contexts_for = contexts_for_shapes
 
 
 def pack(codes: List[np.ndarray], image_hw: Tuple[int, int]) -> bytes:

@@ -374,7 +374,9 @@ class FastCodec:
         ]
 
     def get_codes(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
-        return self.codes_fn(self.weights, batch)
+        return [
+            c.reshape(c.shape[0], -1) for c in self.get_codes_shaped(batch)
+        ]
 
     def get_codes_shaped(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
         if self._jit_codes_shaped is None:

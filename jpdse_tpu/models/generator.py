@@ -63,9 +63,9 @@ class GlobalGenerator(nn.Module):
         # plus the (bf16) block-boundary activations.
         CNA, Res, CTNA = ConvNormAct, ResnetBlock, ConvTransposeNormAct
         if self.remat:
-            CNA = nn.remat(ConvNormAct, static_argnums=(1,))
-            Res = nn.remat(ResnetBlock, static_argnums=(1, 2))
-            CTNA = nn.remat(ConvTransposeNormAct, static_argnums=(1,))
+            CNA = nn.remat(ConvNormAct, static_argnums=(2,))
+            Res = nn.remat(ResnetBlock, static_argnums=(2, 3))
+            CTNA = nn.remat(ConvTransposeNormAct, static_argnums=(2,))
         self.head = CNA(
             ngf, 7, reflect=3, norm=self.norm, fused=self.fused,
             dtype=self.dtype, name="head"
@@ -114,8 +114,11 @@ class GlobalGenerator(nn.Module):
             h = blk(h, train)
         if self.binarize and self.bin_before_res:
             h = self.binarizer(h, deterministic=deterministic)
+        # NOTE: the reference exposes --use_dropout but never passes it into
+        # its ResnetBlocks (networks.py:229 vs pix2pixHD_model.py:37 — a dead
+        # flag there); here it genuinely enables Dropout(0.5) in training.
         for blk in self.res:
-            h = blk(h, train, True)
+            h = blk(h, train, deterministic)
         if self.binarize and not self.bin_before_res:
             h = self.binarizer(h, deterministic=deterministic)
         return h
@@ -140,7 +143,7 @@ class GlobalGenerator(nn.Module):
         if self.bin_before_res:
             return self.binarizer(h, deterministic=deterministic)
         for blk in self.res:
-            h = blk(h, train, True)
+            h = blk(h, train, deterministic)
         return self.binarizer(h, deterministic=deterministic)
 
     def decode_from_code(self, code, train: bool = False):
@@ -200,8 +203,8 @@ class LocalEnhancer(nn.Module):
         ngf_global = self.ngf * (2**self.n_local_enhancers)
         LD, LU = LocalDownsample, LocalUpsample
         if self.remat:  # block-granular remat, see GlobalGenerator.setup
-            LD = nn.remat(LocalDownsample, static_argnums=(1,))
-            LU = nn.remat(LocalUpsample, static_argnums=(1,))
+            LD = nn.remat(LocalDownsample, static_argnums=(2,))
+            LU = nn.remat(LocalUpsample, static_argnums=(2,))
         # global trunk *without* its final reflect-pad/conv7/tanh
         # (networks.py:152-153 drops the last 3 layers)
         self.global_gen = GlobalGenerator(
@@ -329,8 +332,8 @@ class Encoder(nn.Module):
         g = self.groups
         CNA, GCT = ConvNormAct, GroupedConvTransposeNormAct
         if self.remat:  # block-granular remat, see GlobalGenerator.setup
-            CNA = nn.remat(ConvNormAct, static_argnums=(1,))
-            GCT = nn.remat(GroupedConvTransposeNormAct, static_argnums=(1,))
+            CNA = nn.remat(ConvNormAct, static_argnums=(2,))
+            GCT = nn.remat(GroupedConvTransposeNormAct, static_argnums=(2,))
         self.head = CNA(
             self.ngf, 7, reflect=3, groups=g, norm=self.norm, fused=self.fused,
             dtype=self.dtype, name="head"

@@ -191,8 +191,11 @@ def heif_decode(data: bytes) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         ctypes.byref(w), ctypes.byref(h),
     )
-    if rc == -2:  # buffer too small: retry with the exact size... unknown; double
-        cap = cap * 8
+    if rc == -2:
+        # buffer too small: the C side reports the decoded dimensions, so
+        # retry once with the exact size (handles arbitrarily high
+        # compression ratios, e.g. near-flat 4K frames)
+        cap = w.value * h.value * 3
         out = np.empty(cap, dtype=np.uint8)
         rc = lib.jpdse_heif_decode(
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,

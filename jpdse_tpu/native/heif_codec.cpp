@@ -196,6 +196,10 @@ int64_t jpdse_heif_decode(const uint8_t* data, int64_t size, uint8_t* out,
             .code)
       break;
     if (static_cast<int64_t>(w) * h * 3 > cap) {
+      // report the needed dimensions so the caller can retry with the
+      // exact buffer size (high-ratio streams can exceed any fixed guess)
+      *out_w = w;
+      *out_h = h;
       result = -2;
       break;
     }

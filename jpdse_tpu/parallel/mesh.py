@@ -79,7 +79,10 @@ def shard_batch_flexible(batch: Dict, mesh: Mesh, shard_spatial: bool = True) ->
     n_spatial = mesh.shape[SPATIAL_AXIS]
     out = {}
     for k, v in batch.items():
-        arr = np.asarray(v)
+        # keep jax.Arrays as-is: device_put reshards on-device (and no-ops
+        # when the sharding already matches — makes _place idempotent, so a
+        # prefetched pre-placed batch is NOT round-tripped through the host)
+        arr = v if isinstance(v, jax.Array) else np.asarray(v)
         spec = [None] * arr.ndim
         if arr.ndim >= 1 and n_data > 1 and arr.shape[0] % n_data == 0:
             spec[0] = DATA_AXIS

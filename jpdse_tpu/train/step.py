@@ -87,6 +87,12 @@ def make_train_step(
     def _disc_apply(params_d_and_mstate, x, keep):
         return disc.apply(params_d_and_mstate, x, keep)
 
+    def _disc_apply_train(variables, x, keep):
+        """Train-mode D read (batch statistics under --norm batch) whose
+        stat mutation the caller discards."""
+        mut = [k for k in variables if k != "params"]
+        return disc.apply(variables, x, keep, train=True, mutable=mut)
+
     _vgg_apply = vgg_apply
 
     if cfg.optim.remat:
@@ -101,6 +107,7 @@ def make_train_step(
         if cfg.optim.remat_granularity == "decode":
             _decode = jax.checkpoint(_decode)
         _disc_apply = jax.checkpoint(_disc_apply, static_argnums=(2,))
+        _disc_apply_train = jax.checkpoint(_disc_apply_train, static_argnums=(2,))
         if vgg_apply is not None:
             _vgg_apply = jax.checkpoint(vgg_apply)
 
@@ -112,15 +119,27 @@ def make_train_step(
             (fake, input_label), new_mstate_g = out, mstate_g
         real = inputs["real_image"]
         keep = L.match_raw_feat
-        # D(fake) WITH grad into G (pix2pixHD_model.py:733); D running stats
-        # are only advanced by the D update pass below, not these reads
-        pred_fake = _disc_apply(
-            {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
-        )
-        # D(real) for feature-matching targets (detached in the loss)
-        pred_real = _disc_apply(
-            {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
-        )
+        # D(fake) WITH grad into G (pix2pixHD_model.py:733) and D(real) for
+        # feature-matching targets (detached in the loss). The reference
+        # evaluates these in TRAIN mode, so under --norm batch D normalizes
+        # with batch statistics — replicate the stat SOURCE by passing
+        # train=True and discarding the stat mutation. (Known minor delta:
+        # torch also advances D's running averages on these forwards; here
+        # only the D-update passes below advance them.)
+        if mstate_d:
+            pred_fake, _ = _disc_apply_train(
+                {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
+            )
+            pred_real, _ = _disc_apply_train(
+                {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
+            )
+        else:
+            pred_fake = _disc_apply(
+                {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
+            )
+            pred_real = _disc_apply(
+                {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
+            )
 
         zero = jnp.asarray(0.0, jnp.float32)
         l_g_gan = gan_loss(pred_fake, True, use_lsgan) if not L.no_g_gan_loss else zero

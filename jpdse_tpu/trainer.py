@@ -138,8 +138,13 @@ class Trainer:
         self._rate = make_rate_fn(cfg, self.codec)
         self._decode_codes = None  # built lazily by decompress()
         self._rng = jax.random.PRNGKey(cfg.optim.seed or 0)
-        self._fast = None
-        self._maybe_build_fast()
+        # the fast path is built LAZILY on first use (_fast property): it
+        # fetches the whole params tree to host, which must happen once, on
+        # the final (loaded) weights — not at __init__ where load() would
+        # immediately invalidate it (and device->host is ~100KB/s on the
+        # axon relay)
+        self._fast_built = False
+        self._fast_codec = None
 
         if mode == "train" and cfg.optim.schedule_lr:
             self.sched = ReduceLROnPlateau(
@@ -149,29 +154,34 @@ class Trainer:
             )
 
     # ------------------------------------------------------------------
-    def _maybe_build_fast(self):
+    @property
+    def _fast(self):
         """--fast_inference: route deterministic eval through the
         space-to-depth optimized codec (models/fast_codec.py; measured 33.6
         vs 24.3 MP/s/chip at batch 8 on v5e). Numerically equivalent up to
         bf16 reassociation. Falls back to the standard path for unsupported
         configs (non-global netG, grouped/pooled encoders, batch norm) or
-        under a device mesh."""
-        self._fast = None
+        under a device mesh. Built lazily on first use so the one
+        params-to-host fetch happens on the final (loaded) weights."""
+        if self._fast_built:
+            return self._fast_codec
+        self._fast_built = True
         if not (
             self.cfg.model.fast_inference
             and self.mode != "train"
             and self.mesh is None
         ):
-            return
+            return None
         try:
             from jpdse_tpu.models.fast_codec import FastCodec
 
             host_params = jax.tree.map(np.asarray, self.state.params_g)
-            self._fast = FastCodec(self.cfg, host_params)
+            self._fast_codec = FastCodec(self.cfg, host_params)
             print("fast inference path enabled (space-to-depth codec)")
         except ValueError as e:
             print(f"fast_inference unavailable for this config ({e}); "
                   "using the standard path")
+        return self._fast_codec
 
     def _shaped_codes(self, batch: Dict) -> List:
         if self._fast is not None:
@@ -186,13 +196,19 @@ class Trainer:
         return jax.device_put(state, replicated(self.mesh))
 
     def _place(self, batch: Dict) -> Dict:
-        """Strip host fields and (under a mesh) shard onto the devices."""
+        """Strip host fields and place onto the device(s). Idempotent:
+        already-placed arrays are passed through (device_put no-ops on a
+        matching placement), so prefetch_to_device pre-placing via this
+        function costs nothing at step time."""
         b = device_batch(batch)
         if self.mesh is not None:
             from jpdse_tpu.parallel.mesh import shard_batch_flexible
 
-            b = shard_batch_flexible(b, self.mesh, self._shard_spatial)
-        return b
+            return shard_batch_flexible(b, self.mesh, self._shard_spatial)
+        return {
+            k: v if isinstance(v, jax.Array) else jax.device_put(np.asarray(v))
+            for k, v in b.items()
+        }
 
     def _synthetic_batch(self) -> Dict:
         cfg = self.cfg
@@ -248,19 +264,15 @@ class Trainer:
         adaptive models. Context id = channel index within its code, offset so
         different codes never share a context; fully derivable from config +
         image shape, so the decoder can reconstruct it without side info."""
+        from jpdse_tpu.codec_io import contexts_for_shapes
+
         shaped = self._shaped_codes(batch)
         if not shaped:
             raise ValueError("no binarized module in this configuration")
-        flats, ctxs, offset = [], [], 0
-        for c in shaped:
-            c = np.asarray(c)
-            b = c.shape[0]
-            n_ch = c.shape[-1]
-            n_spatial = int(np.prod(c.shape[1:-1]))
-            flats.append(c.reshape(b, -1))
-            ctxs.append(np.tile(np.arange(n_ch, dtype=np.int32), n_spatial) + offset)
-            offset += n_ch
-        return np.concatenate(flats, axis=-1), np.concatenate(ctxs)
+        shaped = [np.asarray(c) for c in shaped]
+        flats = [c.reshape(c.shape[0], -1) for c in shaped]
+        ctxs = contexts_for_shapes([c.shape[1:] for c in shaped])
+        return np.concatenate(flats, axis=-1), ctxs
 
     def compress(self, batch: Dict) -> List[bytes]:
         """Per-image .jpds bitstreams (codec_io format): encoders -> binary
@@ -334,7 +346,9 @@ class Trainer:
             ckpt_dir, self.state, restore_opt=(self.mode == "train")
         )
         self.state = self._replicate_state(self.state)
-        self._maybe_build_fast()  # rebuild the fast path on the loaded weights
+        # invalidate any fast path built on pre-load weights
+        self._fast_built = False
+        self._fast_codec = None
         if self.mode == "train":
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             if self.sched is not None and "scheduler" in meta:

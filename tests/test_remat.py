@@ -56,3 +56,23 @@ def test_remat_identical_params_loss_grads(rng):
         ),
         grads0, grads1,
     )
+
+
+def test_remat_batch_norm_trains(rng):
+    """static_argnums must make `train` genuinely static: with --norm batch
+    the Norm layer branches on it in Python (BatchNorm use_running_average),
+    which crashes if the bool is traced (regression test for the off-by-one
+    flax static_argnums indexing)."""
+    batch = tiny_batch(rng)
+    cfg = tiny_cfg(no_generator_binarization=True, norm="batch")
+    cfg.optim.remat = True
+    codec, params, inputs = init_codec(cfg, batch)
+    out = codec.apply(
+        {"params": params}, inputs, train=True, deterministic=False,
+        rngs={"binarize": jax.random.PRNGKey(7),
+              "dropout": jax.random.PRNGKey(8)},
+        method=SemanticCodec.decode,
+        mutable=["batch_stats"],
+    )
+    (fake, _), _ = out
+    assert np.isfinite(np.asarray(fake, np.float32)).all()
