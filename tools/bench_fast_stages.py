@@ -77,6 +77,9 @@ def main():
                     help="only measure the front stages (head-conv A/B runs)")
     ap.add_argument("--backs-only", action="store_true",
                     help="only measure the back stages (tail-conv A/B runs)")
+    ap.add_argument("--prep-only", action="store_true",
+                    help="only measure flagship input assembly "
+                         "(prepare_inputs: one-hot + edges + concat)")
     args = ap.parse_args()
     B = args.batch
     global H, W
@@ -123,6 +126,31 @@ def main():
 
     # control: loop overhead on the fine input
     rec("control_fine", lambda w_, x: x, x_fine)
+
+    if args.prep_only:
+        # flagship input assembly at full scale: one-hot(35) + edges +
+        # concat with the 3-channel visuals, bf16 (fast-path form)
+        from jpdse_tpu.models.codec import prepare_inputs
+
+        cfg.codec.use_compressed = True
+        label = jnp.asarray(rng.integers(0, 35, (B, H, W)).astype(np.int32))
+        inst = jnp.asarray(rng.integers(0, 60, (B, H, W)).astype(np.int32))
+        comp = jnp.asarray(
+            rng.normal(size=(B, H, W, 3)).astype(np.float32), DTYPE
+        )
+
+        def prep(w_, img):
+            inputs = prepare_inputs(cfg, label, inst, img, comp)
+            return jnp.concatenate(
+                [inputs["input_label"],
+                 inputs["compressed_img"].astype(inputs["input_label"].dtype)],
+                axis=-1,
+            )
+
+        img = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32), DTYPE)
+        rec("prepare_inputs+concat", prep, img)
+        print(json.dumps({"batch": B, "ms": results}))
+        return
 
     if args.fronts_only:
         # head-conv A/B: folded front (current head_fold mode) vs std front
