@@ -128,11 +128,14 @@ def test_compress_decompress_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
 
     bits = tmp_path / "bits"
+    # --fast_inference: the deploy encoder runs through the space-to-depth
+    # codec (codes are sign-exact vs the standard path, so the bitstreams
+    # must decode identically below)
     r = run(
         "compress.py",
         f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
         f"--save_dir {bits} --root_dir {CITYSCAPES_ROOT} --mode val "
-        f"--max_dataset_size 2",
+        f"--max_dataset_size 2 --fast_inference 1",
     )
     assert r.returncode == 0, r.stderr[-3000:]
     jpds = sorted(bits.glob("*.jpds"))
