@@ -242,6 +242,16 @@ class _FastTrunk:
             h = self.apply_binarizer(w, h)
         return self.back(w, self.mid_up(w, h))
 
+    def decode_from_code(self, w: Dict, code_pm1: jax.Array) -> jax.Array:
+        """Resume the trunk after the binarizer ({-1,+1} input) — the
+        deploy-time decoder side (generator.py decode_from_code)."""
+        if self.binarize == "none":
+            raise ValueError("no binarizer in this trunk")
+        h = code_pm1.astype(self.dtype)
+        if self.binarize == "before_res":
+            h = self.res_blocks(w, h)
+        return self.back(w, self.mid_up(w, h))
+
     def encode(self, w: Dict, x: jax.Array) -> jax.Array:
         if self.binarize == "none":
             raise ValueError("no binarizer in this trunk")
@@ -300,6 +310,7 @@ class FastCodec:
             self.weights["netE4label"] = self.netE4label.weights
         self._jit_decode = None
         self._jit_codes_shaped = None
+        self._jit_decode_codes = None
 
     def _inputs(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         # cast visuals to the compute dtype BEFORE preprocessing: the one-hot
@@ -382,3 +393,43 @@ class FastCodec:
         if self._jit_codes_shaped is None:
             self._jit_codes_shaped = jax.jit(self.codes_shaped_fn)
         return self._jit_codes_shaped(self.weights, batch)
+
+    def decode_from_codes_fn(
+        self, weights: Dict, codes: List[jax.Array]
+    ) -> jax.Array:
+        """Deploy-time decoder from the bitstream payload alone ((B, h, w, C)
+        {0,1} codes in get_codes_shaped order) — mirrors
+        SemanticCodec.decode_from_codes with the s2d-optimized trunks."""
+        m = self.cfg.model
+        if not m.no_generator_binarization:
+            return self.netG.decode_from_code(
+                weights["netG"], codes[0] * 2.0 - 1.0
+            )
+        parts = []
+        i = 0
+        if self.netE4label is not None and not m.no_label_encoder_binarization:
+            parts.append(self.netE4label.decode_from_code(
+                weights["netE4label"], codes[i] * 2.0 - 1.0
+            ))
+            i += 1
+        else:
+            raise ValueError(
+                "decode_from_codes requires learned (binarized) semantics"
+            )
+        if not m.no_feat:
+            if self.netE is not None and not m.no_encoder_binarization:
+                feat = self.netE.decode_from_code(
+                    weights["netE"], codes[i] * 2.0 - 1.0
+                )
+                parts.append(feat.astype(parts[0].dtype))
+            else:
+                raise ValueError(
+                    "decode_from_codes requires learned (binarized) visuals"
+                )
+        concat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        return self.netG(weights["netG"], concat)
+
+    def decode_from_codes(self, codes: List[jax.Array]) -> jax.Array:
+        if self._jit_decode_codes is None:
+            self._jit_decode_codes = jax.jit(self.decode_from_codes_fn)
+        return self._jit_decode_codes(self.weights, codes)

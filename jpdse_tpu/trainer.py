@@ -294,12 +294,14 @@ class Trainer:
         the bitstream + model parameters. The deploy-time decoder."""
         from jpdse_tpu import codec_io
 
+        codes, _ = codec_io.unpack(data)
+        codes = [jnp.asarray(c) for c in codes]
+        if self._fast is not None:
+            return np.asarray(self._fast.decode_from_codes(codes)[0])
         if self._decode_codes is None:
             from jpdse_tpu.train.step import make_decode_from_codes_fn
 
             self._decode_codes = make_decode_from_codes_fn(self.cfg, self.codec)
-        codes, _ = codec_io.unpack(data)
-        codes = [jnp.asarray(c) for c in codes]
         img = self._decode_codes(self.state.params_g, self._mg(), codes)
         return np.asarray(img[0])
 

@@ -146,7 +146,7 @@ def test_compress_decompress_cli(tmp_path):
     recon = tmp_path / "recon"
     r = run(
         "decompress.py",
-        f"--input {bits} --load_opt --opt_file {save}/opt.json "
+        f"--input {bits} --load_opt --opt_file {save}/opt.json --fast_inference 1 "
         f"--checkpoints_dir {save} --save_dir {recon}",
     )
     assert r.returncode == 0, r.stderr[-3000:]

@@ -127,3 +127,38 @@ def test_trainer_fast_inference_flag(rng, tmp_path):
     cfg_u.is_train = False
     t_u = Trainer(cfg_u, mode="test", sample_batch=batch)
     assert t_u._fast is None
+
+
+def test_fast_decode_from_codes_matches(rng):
+    """FastCodec.decode_from_codes (the deploy-time bitstream decoder) ==
+    SemanticCodec.decode_from_codes at equal weights and codes."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    codes = codec.apply(
+        {"params": params}, inputs, method=SemanticCodec.get_codes_shaped
+    )
+    want = codec.apply(
+        {"params": params}, codes, method=SemanticCodec.decode_from_codes
+    )
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    got = fast.decode_from_codes(codes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fast_decode_from_codes_generator_bottleneck(rng):
+    cfg = tiny_cfg(
+        no_label_encoding=True, no_feat_encoding=True,
+        no_generator_binarization=False, bin_generator_before_res=True,
+    )
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    codes = codec.apply(
+        {"params": params}, inputs, method=SemanticCodec.get_codes_shaped
+    )
+    want = codec.apply(
+        {"params": params}, codes, method=SemanticCodec.decode_from_codes
+    )
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    got = fast.decode_from_codes(codes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
