@@ -421,6 +421,7 @@ class FastCodec:
                 feat = self.netE.decode_from_code(
                     weights["netE"], codes[i] * 2.0 - 1.0
                 )
+                i += 1  # keep the index math in lockstep with codec.py:258
                 parts.append(feat.astype(parts[0].dtype))
             else:
                 raise ValueError(

@@ -127,15 +127,13 @@ def test_compress_decompress_cli(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
 
+    # standard-path compress (the documented default commands)...
     bits = tmp_path / "bits"
-    # --fast_inference: the deploy encoder runs through the space-to-depth
-    # codec (codes are sign-exact vs the standard path, so the bitstreams
-    # must decode identically below)
     r = run(
         "compress.py",
         f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
         f"--save_dir {bits} --root_dir {CITYSCAPES_ROOT} --mode val "
-        f"--max_dataset_size 2 --fast_inference 1",
+        f"--max_dataset_size 2",
     )
     assert r.returncode == 0, r.stderr[-3000:]
     jpds = sorted(bits.glob("*.jpds"))
@@ -143,10 +141,25 @@ def test_compress_decompress_cli(tmp_path):
     summary = json.loads((bits / "compress_summary.json").read_text())
     assert 0 < summary["avg_bpp"] < 8.0
 
+    # ...and --fast_inference compress: the s2d encoder's codes are
+    # sign-exact, so the bitstreams must be byte-identical
+    bits_f = tmp_path / "bits_fast"
+    r = run(
+        "compress.py",
+        f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
+        f"--save_dir {bits_f} --root_dir {CITYSCAPES_ROOT} --mode val "
+        f"--max_dataset_size 2 --fast_inference 1",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "fast inference path enabled" in r.stdout
+    for p in jpds:
+        assert (bits_f / p.name).read_bytes() == p.read_bytes()
+
+    # standard-path decompress...
     recon = tmp_path / "recon"
     r = run(
         "decompress.py",
-        f"--input {bits} --load_opt --opt_file {save}/opt.json --fast_inference 1 "
+        f"--input {bits} --load_opt --opt_file {save}/opt.json "
         f"--checkpoints_dir {save} --save_dir {recon}",
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -156,3 +169,20 @@ def test_compress_decompress_cli(tmp_path):
 
     img = Image.open(pngs[0])
     assert img.size == (128, 64)  # fixed mode, aspect 2.0
+
+    # ...and the fast deploy decoder on the same bitstreams
+    recon_f = tmp_path / "recon_fast"
+    r = run(
+        "decompress.py",
+        f"--input {bits} --load_opt --opt_file {save}/opt.json --fast_inference 1 "
+        f"--checkpoints_dir {save} --save_dir {recon_f}",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import numpy as np
+
+    for p in pngs:
+        a = np.asarray(Image.open(p), np.int16)
+        b = np.asarray(Image.open(recon_f / p.name), np.int16)
+        # same codes, same weights; bf16-order reassociation may move a few
+        # pixels across uint8 rounding boundaries
+        assert np.abs(a - b).max() <= 4 and np.mean(np.abs(a - b)) < 0.5

@@ -162,3 +162,23 @@ def test_fast_decode_from_codes_generator_bottleneck(rng):
     fast = FastCodec(cfg, params, dtype=jnp.float32)
     got = fast.decode_from_codes(codes)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fast_decode_from_codes_generator_bottleneck_after_res(rng):
+    """after_res (bin_generator_before_res=False) is the DEFAULT bottleneck
+    position — its decode-from-code path skips the res blocks entirely."""
+    cfg = tiny_cfg(
+        no_label_encoding=True, no_feat_encoding=True,
+        no_generator_binarization=False, bin_generator_before_res=False,
+    )
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    codes = codec.apply(
+        {"params": params}, inputs, method=SemanticCodec.get_codes_shaped
+    )
+    want = codec.apply(
+        {"params": params}, codes, method=SemanticCodec.decode_from_codes
+    )
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    got = fast.decode_from_codes(codes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

@@ -129,26 +129,39 @@ def main():
 
     if args.prep_only:
         # flagship input assembly at full scale: one-hot(35) + edges +
-        # concat with the 3-channel visuals, bf16 (fast-path form)
+        # concat with the 3-channel visuals, bf16 (fast-path form).
+        # Measured 0.57 ms at batch 8 on v5e (vs 125 ms e2e decode) — input
+        # assembly is noise; no s2d-direct one-hot rewrite warranted. (The
+        # reduce consumer lower-bounds it; a materializing consumer like the
+        # real head conv adds at most one ~670MB write ~ 1ms more.)
+        # label/inst ride in as jit ARGUMENTS (the `w` dict — no baked
+        # constants, relay 413) and the visuals are the LOOP CARRY so the
+        # whole assembly depends on the iteration and cannot be hoisted.
         from jpdse_tpu.models.codec import prepare_inputs
 
         cfg.codec.use_compressed = True
-        label = jnp.asarray(rng.integers(0, 35, (B, H, W)).astype(np.int32))
-        inst = jnp.asarray(rng.integers(0, 60, (B, H, W)).astype(np.int32))
+        wd = {
+            "label": jnp.asarray(rng.integers(0, 35, (B, H, W)).astype(np.int32)),
+            "inst": jnp.asarray(rng.integers(0, 60, (B, H, W)).astype(np.int32)),
+        }
         comp = jnp.asarray(
             rng.normal(size=(B, H, W, 3)).astype(np.float32), DTYPE
         )
 
-        def prep(w_, img):
-            inputs = prepare_inputs(cfg, label, inst, img, comp)
+        def prep(w_, comp):
+            # zero-valued but loop-carried dependency so the one-hot/edge
+            # work cannot be hoisted out of the timed loop either
+            eps = (comp[0, 0, 0, 0].astype(jnp.float32) * 1e-30).astype(jnp.int32)
+            inputs = prepare_inputs(
+                cfg, w_["label"] + eps, w_["inst"] + eps, comp, comp
+            )
             return jnp.concatenate(
                 [inputs["input_label"],
                  inputs["compressed_img"].astype(inputs["input_label"].dtype)],
                 axis=-1,
             )
 
-        img = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32), DTYPE)
-        rec("prepare_inputs+concat", prep, img)
+        rec("prepare_inputs+concat", prep, comp, wd)
         print(json.dumps({"batch": B, "ms": results}))
         return
 
