@@ -87,6 +87,11 @@ def unpack(data: bytes) -> Tuple[List[np.ndarray], Tuple[int, int]]:
     (payload_bytes,) = struct.unpack_from("<I", data, off)
     off += 4
     payload = data[off : off + payload_bytes]
+    if len(payload) != payload_bytes:
+        raise ValueError(
+            f"truncated .jpds: payload declares {payload_bytes} bytes, "
+            f"{len(payload)} present"
+        )
     n_bits = sum(h * w * c for h, w, c in shapes)
     bits = native.entropy_decode(payload, n_bits, contexts=_contexts_for(shapes))
     codes, pos = [], 0

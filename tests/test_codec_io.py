@@ -70,3 +70,59 @@ def test_generator_bottleneck_bitstream(rng):
     direct = tr.get_img(batch)
     recon = tr.decompress(streams[0])
     np.testing.assert_allclose(recon, direct[0], atol=1e-5)
+
+
+class TestBitstreamRobustness:
+    """Malformed .jpds inputs must fail with clear errors, not garbage."""
+
+    def _valid(self):
+        import numpy as np
+
+        from jpdse_tpu import codec_io
+
+        rng = np.random.default_rng(0)
+        codes = [rng.integers(0, 2, (4, 8, 16)).astype(np.uint8)]
+        return codec_io.pack([c for c in codes], (32, 64))
+
+    def test_bad_magic(self):
+        import pytest
+
+        from jpdse_tpu import codec_io
+
+        with pytest.raises(ValueError, match="magic"):
+            codec_io.unpack(b"NOPE" + self._valid()[4:])
+
+    def test_bad_version(self):
+        import pytest
+
+        from jpdse_tpu import codec_io
+
+        data = bytearray(self._valid())
+        data[4] = 99
+        with pytest.raises(ValueError, match="version"):
+            codec_io.unpack(bytes(data))
+
+    def test_truncated_payload(self):
+        import pytest
+
+        from jpdse_tpu import codec_io
+
+        data = self._valid()
+        with pytest.raises(Exception):
+            codec_io.unpack(data[: len(data) // 2])
+
+    def test_round_trip_ref(self):
+        import numpy as np
+
+        from jpdse_tpu import codec_io
+
+        rng = np.random.default_rng(1)
+        codes = [
+            rng.integers(0, 2, (4, 8, 16)).astype(np.uint8),
+            rng.integers(0, 2, (2, 4, 8)).astype(np.uint8),
+        ]
+        data = codec_io.pack(list(codes), (32, 64))
+        out, hw = codec_io.unpack(data)
+        assert hw == (32, 64)
+        for c, o in zip(codes, out):
+            np.testing.assert_array_equal(o[0], c.astype(np.float32))
