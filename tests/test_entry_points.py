@@ -65,6 +65,20 @@ def test_train_then_test_cli(tmp_path):
     assert 0 <= metrics["MS-SSIM"] <= 1
     assert (out / "test_visualizations" / "index.html").exists()
 
+    # same eval through the fast inference path: metrics must agree
+    out_f = tmp_path / "out_fast"
+    r3 = run(
+        "test.py",
+        f"--load_opt --opt_file {save}/opt.json --checkpoints_dir {save} "
+        f"--save_dir {out_f} --root_dir {CITYSCAPES_ROOT} --mode val "
+        f"--max_dataset_size 2 --do_not_get_codes --fast_inference 1",
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "fast inference path enabled" in r3.stdout
+    metrics_f = json.loads((out_f / "metrics.json").read_text())
+    assert abs(metrics_f["PSNR"] - metrics["PSNR"]) < 0.05
+    assert abs(metrics_f["MS-SSIM"] - metrics["MS-SSIM"]) < 0.001
+
 
 def test_train_cli_multichip_mesh(tmp_path):
     """--data_axis/--spatial_axis build a real mesh inside the CLI: train one

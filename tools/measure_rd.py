@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--n-blocks", type=int, default=9)
     ap.add_argument("--crop", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fast", action="store_true",
+                    help="decode through the --fast_inference path "
+                         "(models/fast_codec.py) instead of the standard "
+                         "codec — proves the production path meets the "
+                         "parity bar too")
     ap.add_argument("--out", default="rd_results.json")
     ap.add_argument(
         "--root", default="/root/reference/datasets/cityscapes_test_CVPR20_1024"
@@ -96,7 +101,16 @@ def main():
         )
     }
     codec = SemanticCodec(cfg)
-    infer = make_infer_fn(cfg, codec)
+    if args.fast:
+        from jpdse_tpu.models.fast_codec import FastCodec
+
+        fast = FastCodec(cfg, params, dtype=jnp.float32)
+
+        def infer(p, mstate, batch):
+            return fast.decode(batch)
+
+    else:
+        infer = make_infer_fn(cfg, codec)
 
     mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
     h, w = args.crop // 2, args.crop
