@@ -107,3 +107,43 @@ def test_broken_coder_warns_and_nulls_coded_bpp(tmp_path, rng, monkeypatch):
     assert avgs["coded_bpp"] is None
     # distortion metrics unaffected
     assert np.isfinite(avgs["PSNR"])
+
+
+class TestNoiseInjection:
+    """--add_noise (test.py:61-74): gaussian supported, clipped to the
+    original range; poisson/uniform raise like the reference."""
+
+    def _cfg(self, dist="normal_poisson"):
+        from jpdse_tpu.config import Config, apply_dataset_defaults
+
+        cfg = Config()
+        cfg.data.dataset = "cityscapes"
+        apply_dataset_defaults(cfg)
+        cfg.data.add_noise = True
+        cfg.data.noise_distribution = dist
+        cfg.data.noise_std = 0.1
+        return cfg
+
+    def test_gaussian_noise_clipped_and_seeded(self):
+        import numpy as np
+
+        from jpdse_tpu.eval.harness import add_noise
+
+        cfg = self._cfg()
+        img = np.linspace(-1, 1, 2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+        out1 = add_noise({"image": img.copy()}, cfg, np.random.default_rng(0))
+        out2 = add_noise({"image": img.copy()}, cfg, np.random.default_rng(0))
+        np.testing.assert_array_equal(out1["image"], out2["image"])  # seeded
+        assert not np.array_equal(out1["image"], img)  # actually perturbed
+        assert out1["image"].max() <= img.max() and out1["image"].min() >= img.min()
+
+    def test_unsupported_distribution_raises(self):
+        import numpy as np
+        import pytest
+
+        from jpdse_tpu.eval.harness import add_noise
+
+        cfg = self._cfg("uniform")
+        img = np.zeros((1, 4, 4, 3), np.float32)
+        with pytest.raises(NotImplementedError):
+            add_noise({"image": img}, cfg, np.random.default_rng(0))
