@@ -378,12 +378,6 @@ class FastCodec:
             codes.append(to01(self.netG.encode(weights["netG"], concat)))
         return codes
 
-    def codes_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> List[jax.Array]:
-        return [
-            c.reshape(c.shape[0], -1)
-            for c in self.codes_shaped_fn(weights, batch)
-        ]
-
     def get_codes(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
         return [
             c.reshape(c.shape[0], -1) for c in self.get_codes_shaped(batch)
