@@ -141,3 +141,24 @@ def test_end_to_end_codes_and_rate(tmp_path):
     shannon, actual = trainer.get_eval_rate(batch)
     assert 0 <= shannon <= actual
     assert actual > 0
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile_dir captures a jax.profiler trace of the first epoch
+    (utils/profiling.py trace); the trace directory must materialize."""
+    import numpy as np
+
+    from jpdse_tpu.utils.profiling import trace
+
+    import jax
+    import jax.numpy as jnp
+
+    d = tmp_path / "prof"
+    with trace(str(d)):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    files = list(d.rglob("*"))
+    assert any(f.is_file() for f in files), files
+
+    # no-op form
+    with trace(None):
+        pass
