@@ -36,13 +36,19 @@ def main():
     print_config(cfg)
 
     loader = create_dataloader(cfg)
-    sample_batch = next(iter(loader))
+    # keep consuming the same iterator the sample came from (a fresh
+    # iter(loader) would leave the first one's producer thread prefetching
+    # full-res batches nobody reads)
+    import itertools
+
+    it = iter(loader)
+    sample_batch = next(it)
     trainer = Trainer(cfg, mode="test", sample_batch=sample_batch)
     trainer.load()
 
     os.makedirs(cfg.save_dir, exist_ok=True)
     total_bits, total_pixels, n = 0, 0, 0
-    for batch in loader:
+    for batch in itertools.chain([sample_batch], it):
         streams = trainer.compress(batch)
         h, w = batch["image"].shape[1:3]
         for j, stream in enumerate(streams):

@@ -24,6 +24,7 @@ one-time notice) when the bpgenc/bpgdec binaries are absent.
 
 from __future__ import annotations
 
+import functools
 import io
 import os
 import shutil
@@ -52,7 +53,11 @@ def _ramdisk_dir() -> str:
     return "."
 
 
+@functools.lru_cache(maxsize=1)
 def _heif_ok() -> bool:
+    """Cached: the probe allocates a libheif context and queries the HEVC
+    encoder/decoder — availability cannot change within a process, and this
+    is called per image on the bpg-fallback path."""
     try:
         from jpdse_tpu import native
 

@@ -37,7 +37,9 @@ def main():
     print_config(cfg)
 
     loader = create_dataloader(cfg)
-    sample_batch = next(iter(loader))
+    sample_it = iter(loader)
+    sample_batch = next(sample_it)
+    sample_it.close()  # stop its prefetch producer before the real pass
     trainer = Trainer(cfg, mode="test", sample_batch=sample_batch)
     trainer.load()
 
@@ -58,8 +60,10 @@ def main():
             f", avg pre-/(estimated) post-entropy coding bpp "
             f"{avgs['actual_bpp']:.4f}/{avgs['shannon_bpp']:.4f}"
         )
-        if "coded_bpp" in avgs:
+        if avgs.get("coded_bpp") is not None:
             msg += f", actual entropy-coded bpp {avgs['coded_bpp']:.4f}"
+        else:
+            msg += ", actual entropy-coded bpp unavailable (coder failed)"
     print(msg)
     if cfg.save_dir:
         with open(os.path.join(cfg.save_dir, "metrics.json"), "w") as f:

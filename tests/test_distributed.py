@@ -50,8 +50,16 @@ WORKER = textwrap.dedent(
 )
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_dcn_mesh(tmp_path):
-    port = 29517
+    port = _free_port()  # fixed ports collide across parallel/retried runs
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=REPO, port=port))
     procs = [

@@ -154,3 +154,26 @@ class TestTapFolds:
         split = conv_tap_split_w(x, jnp.asarray(weights_tap_split_w(w)), 4)
         np.testing.assert_allclose(np.asarray(split), np.asarray(direct),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_s2d_large_mean_conditioning():
+    """Large per-channel means must not destroy the variance estimate (the
+    naive one-pass E[x^2]-mean^2 cancels catastrophically in fp32; the
+    sampled-shift form stays conditioned). Compare against the fine-domain
+    float64 reference."""
+    import numpy as np
+
+    from jpdse_tpu.ops.s2d import instance_norm_s2d, space_to_depth
+
+    rng = np.random.default_rng(0)
+    # mean/std ratio ~ 3000: naive one-pass fp32 loses ~all variance bits
+    fine = (3000.0 + 0.5 * rng.normal(size=(2, 16, 32, 5))).astype(np.float32)
+    ref64 = fine.astype(np.float64)
+    m = ref64.mean(axis=(1, 2), keepdims=True)
+    v = ref64.var(axis=(1, 2), keepdims=True)
+    want = space_to_depth(
+        jnp.asarray(((ref64 - m) / np.sqrt(v + 1e-5)).astype(np.float32))
+    )
+    got = instance_norm_s2d(space_to_depth(jnp.asarray(fine)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

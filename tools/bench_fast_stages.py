@@ -13,7 +13,6 @@ Usage: python tools/bench_fast_stages.py [--batch 8]
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -226,7 +225,6 @@ def main():
     rec("fast_back", fast.back, h3, w)
 
     # standard-path equivalents (head+down0 at full res; last up + tail)
-    std_apply = functools.partial(gen.apply, {"params": params})
 
     def std_front(p, x):
         return gen.apply(
