@@ -25,6 +25,7 @@ tests/test_s2d.py):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -266,24 +267,31 @@ def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     (B, H, W, 4, C) relayout of the activation itself (that 5-D reshape costs
     a full HBM round trip on TPU).
 
-    One data pass, conditioned by a sampled shift: the naive one-pass
-    E[x^2] - mean^2 loses fp32 bits when |mean|/std is large. Subtracting a
-    per-fine-channel SAMPLE of the data (first pixel of sub-position group
-    0 — the same shift for every element pooled into one stat, so the
-    variance is mathematically unchanged) drops the conditioning ratio to
-    |mean - x0|/std ~ O(1). Costs one fused broadcast subtract; still a
-    single HBM read for the stats."""
+    Conditioning note: the one-pass E[x^2] - mean^2 loses fp32 bits when
+    |mean|/std is large (catastrophic cancellation). JPDSE_NORM_SHIFT=1
+    subtracts a per-fine-channel SAMPLE of the data first (same shift for
+    every element pooled into one stat, so the variance is mathematically
+    unchanged), dropping the conditioning ratio to |mean - x0|/std ~ O(1) —
+    but it breaks XLA's fusion of the stats pass and measures 32.0 vs 33.9
+    MP/s e2e (v5e, batch 16). Default OFF: trunk activations sit right
+    after an InstanceNorm'd conv, where |mean|/std is O(10) and the fp32
+    error is ~1e-12 relative (validated end-to-end at ~1e-7 dB vs the torch
+    fp32 stack, BASELINE.md); enable the shift for pathological inputs."""
     b, h, w, c4 = x.shape
     c = c4 // 4
     x32 = x.astype(jnp.float32)
     n = h * w * 4
-    shift = jax.lax.stop_gradient(x32[:, :1, :1, :c])  # (b, 1, 1, c)
-    d = x32 - jnp.tile(shift, (1, 1, 1, 4))
+    if os.environ.get("JPDSE_NORM_SHIFT", "0") == "1":
+        shift = jax.lax.stop_gradient(x32[:, :1, :1, :c])  # (b, 1, 1, c)
+        d = x32 - jnp.tile(shift, (1, 1, 1, 4))
+    else:
+        shift = None
+        d = x32
     s1 = jnp.sum(d, axis=(1, 2)).reshape(b, 4, c).sum(axis=1)  # (b, c)
     s2 = jnp.sum(d * d, axis=(1, 2)).reshape(b, 4, c).sum(axis=1)
     mean_d = s1 / n
     var = jnp.maximum(s2 / n - mean_d * mean_d, 0.0)
-    mean = mean_d + shift[:, 0, 0, :]
+    mean = mean_d if shift is None else mean_d + shift[:, 0, 0, :]
     mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
     rstd4 = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
     return ((x32 - mean4) * rstd4).astype(x.dtype)
