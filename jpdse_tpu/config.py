@@ -74,6 +74,12 @@ class DataConfig:
     use_gt_semantics: bool = True
     no_pairing_check: bool = False
     batch_size: int = 1
+    # cache decoded+resized samples in memory (deterministic 'fixed'/'none'
+    # preprocessing only — flip/normalize/codec still run per call). For
+    # many-epoch training on a small set this removes the PIL decode+resize
+    # from every epoch (this box has 1 CPU; a 2048x1024 PNG decode+bicubic
+    # costs ~1s, comparable to a whole TPU train step).
+    cache_images: bool = False
     preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
     val_preprocess: PreprocessConfig = field(
         default_factory=lambda: PreprocessConfig("none", 1024, 512, 2.0)
@@ -269,6 +275,10 @@ class Config:
     load_model: bool = False
     do_not_get_codes: bool = False
     display_winsize: int = 512
+    # cap the number of reconstructions dumped to the HTML gallery per
+    # save (None = all val images). On the TPU relay a device->host image
+    # fetch runs ~1 min (100KB/s); capping keeps best-val saves cheap.
+    max_recon_dump: Optional[int] = None
     tf_log: bool = False  # kept for CLI parity; logging is always-on here
     profile_dir: Optional[str] = None  # jax.profiler trace output (xprof)
 
@@ -297,6 +307,14 @@ class Config:
             raise ValueError("sem_masking requires features and labels (pix2pixHD_model.py:115)")
         if len(c.quality) > 1 and not m.sem_masking:
             raise ValueError("per-channel quality list requires sem_masking (pix2pixHD_model.py:342-343)")
+        if self.optim.remat_granularity not in ("block", "decode"):
+            # a typo here would otherwise silently disable generator remat
+            # while remat=True still checkpoints D/VGG — surfacing as an
+            # unexplained OOM instead of a config error
+            raise ValueError(
+                f"optim.remat_granularity must be 'block' or 'decode', "
+                f"got {self.optim.remat_granularity!r}"
+            )
 
     # ------------------------------------------------------------------
     # channel arithmetic (pix2pixHD_model.py:117-183)

@@ -55,6 +55,18 @@ class PairedDataset:
         self.label_paths = label_paths
         self.image_paths = image_paths
         self.instance_paths = instance_paths
+        # data.cache_images: memoize the decoded+resized (pre-flip,
+        # pre-normalize) arrays per index. Only valid when the geometric
+        # transform is deterministic (no random crop): 'fixed' and 'none'.
+        self._cache: Dict[int, Tuple] = {}
+        self._cache_enabled = cfg.data.cache_images and (
+            cfg.data.preprocess.preprocess_mode in ("fixed", "none")
+        )
+        if cfg.data.cache_images and not self._cache_enabled:
+            print(
+                f"note: cache_images ignored for random-crop preprocess mode "
+                f"{cfg.data.preprocess.preprocess_mode!r}"
+            )
 
     # -- subclass hooks --------------------------------------------------
     def get_paths(self, cfg: Config) -> Tuple[List[str], List[str], List[str]]:
@@ -87,29 +99,79 @@ class PairedDataset:
             instance_img = Image.open(instance_path)
         return Image.open(image_path), label_img, instance_img, image_path
 
+    def _resized_arrays(self, index: int):
+        """Decoded + geometrically-transformed (pre-flip, pre-normalize)
+        arrays: (uint8 image HWC, label ids, instance ids, path). Memoized
+        when cache_images is on (deterministic transforms only)."""
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+        cfg = self.cfg
+        image, label, instance, image_path = self._load_triplet(index)
+        pp = cfg.data.preprocess
+        noflip = {"crop_pos": (0, 0), "flip": False}
+        orig_size = image.size  # sample_params must see the ORIGINAL size so
+        # the rng stream matches the uncached path bit-for-bit
+        image_arr = np.asarray(
+            apply_transform(image.convert("RGB"), pp, noflip, Image.BICUBIC, False),
+            np.uint8,
+        )
+        label_arr = inst_arr = None
+        if label is not None:
+            label_arr = label_to_array(
+                apply_transform(label, pp, noflip, Image.NEAREST, False),
+                cfg.data.num_labels,
+            )
+        if instance is not None:
+            inst_arr = instance_to_array(
+                apply_transform(instance, pp, noflip, Image.NEAREST, False)
+            )
+        out = (image_arr, label_arr, inst_arr, image_path, orig_size)
+        if self._cache_enabled:
+            self._cache[index] = out
+        return out
+
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         cfg = self.cfg
         rng = rng if rng is not None else np.random.default_rng()
-        image, label, instance, image_path = self._load_triplet(index)
-
         pp = cfg.data.preprocess
-        params = sample_params(pp, image.size, rng, cfg.data.no_flip)
         is_train = cfg.is_train
 
-        image = image.convert("RGB")
-        image_t = apply_transform(image, pp, params, Image.BICUBIC, is_train)
-        image_arr = image_to_normalized(
-            image_t, cfg.data.normalize_mean, cfg.data.normalize_std
-        )
+        if self._cache_enabled:
+            # deterministic decode+resize memoized; flip + normalize per call
+            image_u8, label_arr, inst_arr, image_path, orig_size = (
+                self._resized_arrays(index)
+            )
+            params = sample_params(pp, orig_size, rng, cfg.data.no_flip)
+            flip = is_train and params["flip"]
+            if flip:
+                image_u8 = image_u8[:, ::-1]
+            mean = np.asarray(cfg.data.normalize_mean, np.float32)
+            std = np.asarray(cfg.data.normalize_std, np.float32)
+            image_arr = (image_u8.astype(np.float32) / 255.0 - mean) / std
+            sample: Dict = {"image": image_arr, "path": image_path}
+            if label_arr is not None:
+                sample["label"] = label_arr[:, ::-1].copy() if flip else label_arr
+            if inst_arr is not None:
+                sample["instance"] = inst_arr[:, ::-1].copy() if flip else inst_arr
+        else:
+            image, label, instance, image_path = self._load_triplet(index)
+            params = sample_params(pp, image.size, rng, cfg.data.no_flip)
 
-        sample: Dict = {"image": image_arr, "path": image_path}
+            image = image.convert("RGB")
+            image_t = apply_transform(image, pp, params, Image.BICUBIC, is_train)
+            image_arr = image_to_normalized(
+                image_t, cfg.data.normalize_mean, cfg.data.normalize_std
+            )
 
-        if label is not None:
-            label_t = apply_transform(label, pp, params, Image.NEAREST, is_train)
-            sample["label"] = label_to_array(label_t, cfg.data.num_labels)
-        if instance is not None:
-            inst_t = apply_transform(instance, pp, params, Image.NEAREST, is_train)
-            sample["instance"] = instance_to_array(inst_t)
+            sample = {"image": image_arr, "path": image_path}
+
+            if label is not None:
+                label_t = apply_transform(label, pp, params, Image.NEAREST, is_train)
+                sample["label"] = label_to_array(label_t, cfg.data.num_labels)
+            if instance is not None:
+                inst_t = apply_transform(instance, pp, params, Image.NEAREST, is_train)
+                sample["instance"] = instance_to_array(inst_t)
 
         if cfg.codec.use_compressed:
             # external base codec round trip on the *transformed* image

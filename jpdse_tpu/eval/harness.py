@@ -69,6 +69,16 @@ def evaluate(
             totals["shannon_bpp"] += shannon_bpp * batch["image"].shape[0]
             totals["actual_bpp"] += actual_bpp * batch["image"].shape[0]
 
+        # base-codec rate: the external codec's real bitstream bytes ride with
+        # the batch (data/paired.py base_codec_bytes). The reference prints
+        # this per batch (test.py:78-81,128-130); without it a use_compressed
+        # eval reports distortion at zero rate — half an R-D point.
+        if "base_codec_bytes" in batch:
+            h, w = batch["image"].shape[1:3]
+            totals["base_codec_bpp"] = totals.get("base_codec_bpp", 0.0) + float(
+                np.sum(np.asarray(batch["base_codec_bytes"], np.float64)) * 8.0 / (h * w)
+            )
+
         recon = trainer.get_img(batch)
         codes = contexts = None
         if get_codes and cfg.save_dir:
@@ -142,5 +152,12 @@ def evaluate(
     avgs = {k: v / max(n_images, 1) for k, v in totals.items()}
     if not coder_ok:
         avgs["coded_bpp"] = None
+    # total_bpp: every byte a receiver needs — entropy-coded learned codes
+    # (coded_bpp; actual_bpp upper bound if the coder is unavailable) plus
+    # the base codec's bitstream when one is in the loop
+    learned = avgs.get("coded_bpp")
+    if learned is None:
+        learned = avgs.get("actual_bpp", 0.0) if get_codes else 0.0
+    avgs["total_bpp"] = learned + avgs.get("base_codec_bpp", 0.0)
     avgs["n_images"] = n_images
     return avgs

@@ -273,6 +273,10 @@ class FastCodec:
 
     def __init__(self, cfg: Config, params_g: Dict, dtype=None):
         m = cfg.model
+        # decode_from_codes_fn indexes codes[0] as the netE4label code, which
+        # is only safe under the validated invariant that encoders and
+        # generator are never binarized together (Config.validate)
+        cfg.validate()
         if (
             m.netG != "global" or m.netE_groups != 1 or m.inst_wise_pool
             or m.sem_masking or m.norm != "instance"

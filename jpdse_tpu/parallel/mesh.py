@@ -71,10 +71,17 @@ def mesh_from_config(parallel_cfg, devices=None) -> Optional[Mesh]:
     return make_mesh(n_data, n_spatial, devices[:need])
 
 
+_warned_replicated: set = set()
+
+
 def shard_batch_flexible(batch: Dict, mesh: Mesh, shard_spatial: bool = True) -> Dict:
     """Place a host batch onto the mesh: B over 'data' when divisible (else
     replicated — e.g. the reference-protocol batch-1 eval), H (axis 1) over
-    'spatial' when divisible. Host-only fields must be stripped first."""
+    'spatial' when divisible. Host-only fields must be stripped first.
+
+    The replication fallback is a silent perf cliff (every device computes
+    the full batch), so the first time a non-divisible dim degrades to
+    replication a one-shot warning is emitted per (key, axis)."""
     n_data = mesh.shape[DATA_AXIS]
     n_spatial = mesh.shape[SPATIAL_AXIS]
     out = {}
@@ -84,15 +91,29 @@ def shard_batch_flexible(batch: Dict, mesh: Mesh, shard_spatial: bool = True) ->
         # prefetched pre-placed batch is NOT round-tripped through the host)
         arr = v if isinstance(v, jax.Array) else np.asarray(v)
         spec = [None] * arr.ndim
-        if arr.ndim >= 1 and n_data > 1 and arr.shape[0] % n_data == 0:
-            spec[0] = DATA_AXIS
-        if (
-            shard_spatial
-            and arr.ndim >= 3
-            and n_spatial > 1
-            and arr.shape[1] % n_spatial == 0
-        ):
-            spec[1] = SPATIAL_AXIS
+        if arr.ndim >= 1 and n_data > 1:
+            if arr.shape[0] % n_data == 0:
+                spec[0] = DATA_AXIS
+            elif (k, "data") not in _warned_replicated:
+                _warned_replicated.add((k, "data"))
+                import warnings
+
+                warnings.warn(
+                    f"batch field {k!r}: dim 0 ({arr.shape[0]}) not divisible "
+                    f"by data axis ({n_data}); replicating — every device "
+                    f"computes the full batch"
+                )
+        if shard_spatial and arr.ndim >= 3 and n_spatial > 1:
+            if arr.shape[1] % n_spatial == 0:
+                spec[1] = SPATIAL_AXIS
+            elif (k, "spatial") not in _warned_replicated:
+                _warned_replicated.add((k, "spatial"))
+                import warnings
+
+                warnings.warn(
+                    f"batch field {k!r}: dim 1 ({arr.shape[1]}) not divisible "
+                    f"by spatial axis ({n_spatial}); H stays unsharded"
+                )
         out[k] = jax.device_put(arr, NamedSharding(mesh, P(*spec)))
     return out
 

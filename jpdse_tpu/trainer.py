@@ -178,9 +178,11 @@ class Trainer:
             host_params = jax.tree.map(np.asarray, self.state.params_g)
             self._fast_codec = FastCodec(self.cfg, host_params)
             print("fast inference path enabled (space-to-depth codec)")
-        except ValueError as e:
-            print(f"fast_inference unavailable for this config ({e}); "
-                  "using the standard path")
+        except (ValueError, KeyError) as e:
+            # KeyError: a structurally unexpected params tree (e.g. after a
+            # partial cross-phase restore) must also fall back, not crash eval
+            print(f"fast_inference unavailable for this config "
+                  f"({type(e).__name__}: {e}); using the standard path")
         return self._fast_codec
 
     def _shaped_codes(self, batch: Dict) -> List:

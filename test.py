@@ -55,7 +55,7 @@ def main():
         "test set avg recon loss (L1/MSE/MS-SSIM/PSNR) "
         f"{avgs['L1']:.4f}/{avgs['MSE']:.4f}/{avgs['MS-SSIM']:.4f}/{avgs['PSNR']:.2f}dB"
     )
-    if not cfg.do_not_get_codes:
+    if not cfg.do_not_get_codes and cfg.has_binary_codes:
         msg += (
             f", avg pre-/(estimated) post-entropy coding bpp "
             f"{avgs['actual_bpp']:.4f}/{avgs['shannon_bpp']:.4f}"
@@ -64,6 +64,9 @@ def main():
             msg += f", actual entropy-coded bpp {avgs['coded_bpp']:.4f}"
         else:
             msg += ", actual entropy-coded bpp unavailable (coder failed)"
+    if avgs.get("base_codec_bpp"):
+        msg += f", base-codec bpp {avgs['base_codec_bpp']:.4f}"
+    msg += f", total bpp {avgs.get('total_bpp', 0.0):.4f}"
     print(msg)
     if cfg.save_dir:
         with open(os.path.join(cfg.save_dir, "metrics.json"), "w") as f:

@@ -74,6 +74,19 @@ def test_binarize_contradiction_rejected():
         cfg2.validate()
 
 
+def test_remat_granularity_typo_rejected():
+    """A typo'd remat_granularity must be a config error, not a silent
+    no-remat (which would surface as an unexplained OOM)."""
+    cfg = Config()
+    cfg.model.no_generator_binarization = True
+    cfg.optim.remat = True
+    cfg.optim.remat_granularity = "blocks"  # typo
+    with pytest.raises(ValueError, match="remat_granularity"):
+        cfg.validate()
+    cfg.optim.remat_granularity = "decode"
+    cfg.validate()
+
+
 def test_json_round_trip(tmp_path):
     cfg = flagship_train_config()
     p = tmp_path / "opt.json"

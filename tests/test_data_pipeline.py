@@ -91,6 +91,40 @@ def test_train_augmentation_shared_params():
     assert not np.array_equal(s1["image"], s3["image"])
 
 
+def test_cache_images_identical_samples():
+    """cache_images memoizes decode+resize but must leave the sample stream
+    bit-identical (same seeded flips, same normalize) — and random-crop modes
+    refuse the cache."""
+    cfg = cityscapes_cfg(mode="val", crop=256)
+    cfg.is_train = True  # exercise the flip path
+    cfg.data.max_dataset_size = 2
+    ds_plain = find_dataset_using_name("cityscapes")(cfg)
+
+    import copy
+
+    cfg_c = copy.deepcopy(cfg)
+    cfg_c.data.cache_images = True
+    ds_cached = find_dataset_using_name("cityscapes")(cfg_c)
+    assert ds_cached._cache_enabled
+    for idx in range(2):
+        for seed in (0, 1, 2):
+            a = ds_plain.__getitem__(idx, rng=np.random.default_rng(seed))
+            b = ds_cached.__getitem__(idx, rng=np.random.default_rng(seed))
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+            np.testing.assert_array_equal(a["instance"], b["instance"])
+    assert len(ds_cached._cache) == 2
+    # second pass hits the cache (decode skipped) and is still identical
+    a = ds_plain.__getitem__(0, rng=np.random.default_rng(5))
+    b = ds_cached.__getitem__(0, rng=np.random.default_rng(5))
+    np.testing.assert_array_equal(a["image"], b["image"])
+
+    cfg_rc = copy.deepcopy(cfg_c)
+    cfg_rc.data.preprocess.preprocess_mode = "scale_width_and_crop"
+    ds_rc = find_dataset_using_name("cityscapes")(cfg_rc)
+    assert not ds_rc._cache_enabled  # random crop: cache refused
+
+
 def test_codec_bridge_jpg_round_trip(rng):
     img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
     dec, nbytes = encode_decode(img, "jpg", 90)

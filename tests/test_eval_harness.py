@@ -93,6 +93,36 @@ def test_coded_bpp_beats_actual_and_tracks_shannon(tmp_path, rng):
     assert len(glob.glob(os.path.join(cfg.save_dir, "codes", "*.rc"))) == 4
 
 
+def test_base_codec_bpp_reaches_eval(tmp_path, rng):
+    """use_compressed eval must report the base codec's real rate
+    (reference prints it per batch, test.py:78-81) — not 0.0 bpp."""
+    cfg = make_cfg(tmp_path)
+    cfg.do_not_get_codes = True  # isolate the base-codec rate path
+    tr = StubTrainer(rng)
+    loader = fake_loader(rng, n_batches=2)
+    nbytes = 1000
+    for batch in loader:
+        batch["base_codec_bytes"] = np.full(batch["image"].shape[0], nbytes, np.int64)
+    avgs = evaluate(cfg, tr, loader)
+    px = (4 * H) * (4 * W)
+    expected = nbytes * 8.0 / px
+    assert avgs["base_codec_bpp"] == pytest.approx(expected, rel=1e-6)
+    assert avgs["total_bpp"] == pytest.approx(expected, rel=1e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="native coder unavailable")
+def test_total_bpp_sums_learned_and_base(tmp_path, rng):
+    cfg = make_cfg(tmp_path)
+    tr = StubTrainer(rng)
+    loader = fake_loader(rng, n_batches=1)
+    for batch in loader:
+        batch["base_codec_bytes"] = np.full(batch["image"].shape[0], 512, np.int64)
+    avgs = evaluate(cfg, tr, loader)
+    assert avgs["total_bpp"] == pytest.approx(
+        avgs["coded_bpp"] + avgs["base_codec_bpp"], rel=1e-9
+    )
+
+
 def test_broken_coder_warns_and_nulls_coded_bpp(tmp_path, rng, monkeypatch):
     cfg = make_cfg(tmp_path)
     tr = StubTrainer(rng)

@@ -147,10 +147,20 @@ def test_shard_batch_flexible_degrades_indivisible():
         "label": np.zeros((1, 8, 16), np.float32),      # B=1: replicate B
         "odd_h": np.zeros((4, 7, 16, 3), np.float32),   # H%2!=0: replicate H
     }
-    out = shard_batch_flexible(batch, mesh, shard_spatial=True)
+    import jpdse_tpu.parallel.mesh as mesh_mod
+
+    mesh_mod._warned_replicated.clear()
+    with pytest.warns(UserWarning, match="not divisible"):
+        out = shard_batch_flexible(batch, mesh, shard_spatial=True)
     img_spec = out["image"].sharding.spec
     assert img_spec[0] == "data" and img_spec[1] == "spatial"
     lab_spec = out["label"].sharding.spec
     assert len(lab_spec) == 0 or lab_spec[0] is None  # replicated batch dim
     odd = out["odd_h"].sharding.spec
     assert odd[0] == "data" and (len(odd) < 2 or odd[1] is None)
+    # one-shot: the same degradation does not warn twice
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        shard_batch_flexible(batch, mesh, shard_spatial=True)

@@ -64,9 +64,12 @@ def validate(trainer, val_loader, log_file, cfg):
 
 def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer):
     print("\nsaving reconstructed val images...\n")
+    limit = cfg.max_recon_dump if cfg.max_recon_dump is not None else MAX_VAL_SIZE
+    n_dumped = 0
     for i, batch in enumerate(val_loader):
-        if i == MAX_VAL_SIZE:
+        if i == MAX_VAL_SIZE or n_dumped >= limit:
             break
+        n_dumped += batch["image"].shape[0]
         recon = trainer.get_img(batch)
         for j in range(recon.shape[0]):
             visuals = {}
