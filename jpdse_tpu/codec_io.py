@@ -13,12 +13,28 @@ entropy-coded by the native adaptive binary range coder with per-channel
 contexts (jpdse_tpu/native/range_coder.cpp). Contexts are derived from the
 header shapes, so the decoder needs no side info beyond this file and the
 model checkpoint.
+
+Version 2 appends the side-info sections that make the reference's *raw*
+configurations deployable too (its flagship recipe rides raw one-hot
+semantics + BPG-compressed visuals, scripts/pix2pixHD_bpg_train.sh:5-7, and
+its test.py:98-110 dump was undecodable for them):
+
+    [u8 flags]                    bit0 label, bit1 instance, bit2 base codec
+    label:    [u32 len][PNG]      uint8 label-id map (lossless)
+    instance: [u32 len][PNG]      uint16 instance-id map (lossless)
+    base:     [u8 ext_len][ext][u8 n_payloads] { [u32 len][bytes] } *
+              the base codec's own bitstream(s), one per quality factor
+
+Every byte a receiver needs is in the file; total file size / pixels IS the
+rate. Version-1 files (no side info) remain readable.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import io
 import struct
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,6 +42,7 @@ from jpdse_tpu import native
 
 MAGIC = b"JPDS"
 VERSION = 1
+VERSION2 = 2
 
 
 def contexts_for_shapes(shapes: Sequence[Tuple[int, int, int]]) -> np.ndarray:
@@ -44,8 +61,94 @@ def contexts_for_shapes(shapes: Sequence[Tuple[int, int, int]]) -> np.ndarray:
 _contexts_for = contexts_for_shapes
 
 
-def pack(codes: List[np.ndarray], image_hw: Tuple[int, int]) -> bytes:
-    """codes: per-module (h, w, c) {0,1} arrays for ONE image."""
+@dataclasses.dataclass
+class SideInfo:
+    """Everything in a .jpds file beyond the learned codes."""
+
+    label: Optional[np.ndarray] = None      # (H, W) uint8 label ids
+    instance: Optional[np.ndarray] = None   # (H, W) int32 instance ids
+    base_ext: Optional[str] = None          # effective base-codec name
+    base_payloads: Optional[List[bytes]] = None  # one per quality factor
+
+    def empty(self) -> bool:
+        return (
+            self.label is None
+            and self.instance is None
+            and not self.base_payloads
+        )
+
+
+@dataclasses.dataclass
+class Bitstream:
+    codes: List[np.ndarray]                 # (1, h, w, c) float32 {0,1}
+    image_hw: Tuple[int, int]
+    side: SideInfo
+
+
+def encode_idmap_png(arr: np.ndarray) -> bytes:
+    """Lossless PNG of an id map. uint8 maps save as mode 'L'; wider ids as
+    16-bit grayscale ('I;16') — Cityscapes instance ids (class*1000+idx,
+    max ~34xxx) fit in uint16."""
+    from PIL import Image
+
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        if arr.min() < 0 or arr.max() > 0xFFFF:
+            raise ValueError(f"id map out of uint16 range [{arr.min()}, {arr.max()}]")
+        arr = arr.astype(np.uint16)
+        img = Image.fromarray(arr, mode="I;16")
+    else:
+        img = Image.fromarray(arr, mode="L")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", optimize=True)
+    return buf.getvalue()
+
+
+def decode_idmap_png(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def side_requirements(cfg) -> Tuple[bool, bool, bool]:
+    """Which side-info sections a configuration needs for a complete
+    decodable bitstream: (need_label, need_instance, need_base). Raises for
+    configurations whose visuals are raw *uncompressed* pixels (no bitstream
+    representation exists)."""
+    m = cfg.model
+    if not m.no_generator_binarization:
+        # the generator bottleneck code captures everything upstream of it
+        return False, False, False
+    sem_in_codes = cfg.use_netE4label and not m.no_label_encoder_binarization
+    vis_in_codes = (
+        (not m.no_feat) and cfg.use_netE and not m.no_encoder_binarization
+    )
+    vis_raw = (not m.no_feat) and not vis_in_codes
+    if m.sem_masking:
+        need_label = vis_raw  # label only shapes the semantic mask
+    else:
+        need_label = (not m.no_label) and not sem_in_codes
+    need_inst = (not m.no_instance) and need_label
+    if vis_raw and m.inst_wise_pool and cfg.use_netE:
+        need_inst = True  # unbinarized encoder pools over instance ids
+    need_base = vis_raw and cfg.codec.use_compressed
+    if vis_raw and not cfg.codec.use_compressed:
+        raise ValueError(
+            "this configuration feeds raw uncompressed pixels to the "
+            "generator (no_feat_encoding without use_compressed) — there "
+            "is no bitstream representation for it"
+        )
+    return need_label, need_inst, need_base
+
+
+def pack(
+    codes: List[np.ndarray],
+    image_hw: Tuple[int, int],
+    side: Optional[SideInfo] = None,
+) -> bytes:
+    """codes: per-module (h, w, c) {0,1} arrays for ONE image. With ``side``,
+    writes a version-2 stream embedding the label/instance maps and/or the
+    base codec's payload; otherwise a version-1 stream."""
     shapes = []
     flats = []
     for c in codes:
@@ -56,26 +159,51 @@ def pack(codes: List[np.ndarray], image_hw: Tuple[int, int]) -> bytes:
             c = c[0]
         shapes.append(tuple(int(s) for s in c.shape))
         flats.append(c.reshape(-1).astype(np.uint8))
-    bits = np.concatenate(flats) if flats else np.zeros(0, np.uint8)
-    payload = native.entropy_encode(bits, contexts=_contexts_for(shapes))
+    if flats:
+        bits = np.concatenate(flats)
+        payload = native.entropy_encode(bits, contexts=_contexts_for(shapes))
+    else:
+        payload = b""  # side-info-only stream (e.g. the raw phase-2 config)
 
+    v2 = side is not None and not side.empty()
     out = bytearray()
     out += MAGIC
-    out += struct.pack("<BHH", VERSION, image_hw[0], image_hw[1])
+    out += struct.pack("<BHH", VERSION2 if v2 else VERSION, image_hw[0], image_hw[1])
     out += struct.pack("<B", len(shapes))
     for h, w, c in shapes:
         out += struct.pack("<HHH", h, w, c)
     out += struct.pack("<I", len(payload))
     out += payload
+    if v2:
+        flags = (
+            (1 if side.label is not None else 0)
+            | (2 if side.instance is not None else 0)
+            | (4 if side.base_payloads else 0)
+        )
+        out += struct.pack("<B", flags)
+        if side.label is not None:
+            png = encode_idmap_png(np.asarray(side.label).astype(np.uint8))
+            out += struct.pack("<I", len(png)) + png
+        if side.instance is not None:
+            png = encode_idmap_png(np.asarray(side.instance))
+            out += struct.pack("<I", len(png)) + png
+        if side.base_payloads:
+            ext = (side.base_ext or "").encode("ascii")
+            if not ext:
+                raise ValueError("base payloads require base_ext")
+            out += struct.pack("<B", len(ext)) + ext
+            out += struct.pack("<B", len(side.base_payloads))
+            for p in side.base_payloads:
+                out += struct.pack("<I", len(p)) + p
     return bytes(out)
 
 
-def unpack(data: bytes) -> Tuple[List[np.ndarray], Tuple[int, int]]:
-    """Returns (codes [(1, h, w, c) float32 {0,1}], (H, W))."""
+def unpack_full(data: bytes) -> Bitstream:
+    """Parse a version-1 or version-2 stream into codes + side info."""
     if data[:4] != MAGIC:
         raise ValueError("not a .jpds bitstream (bad magic)")
     ver, H, W = struct.unpack_from("<BHH", data, 4)
-    if ver != VERSION:
+    if ver not in (VERSION, VERSION2):
         raise ValueError(f"unsupported .jpds version {ver}")
     off = 9
     (n_codes,) = struct.unpack_from("<B", data, off)
@@ -92,11 +220,48 @@ def unpack(data: bytes) -> Tuple[List[np.ndarray], Tuple[int, int]]:
             f"truncated .jpds: payload declares {payload_bytes} bytes, "
             f"{len(payload)} present"
         )
+    off += payload_bytes
     n_bits = sum(h * w * c for h, w, c in shapes)
-    bits = native.entropy_decode(payload, n_bits, contexts=_contexts_for(shapes))
+    if n_bits:
+        bits = native.entropy_decode(payload, n_bits, contexts=_contexts_for(shapes))
+    else:
+        bits = np.zeros(0, np.uint8)
     codes, pos = [], 0
     for h, w, c in shapes:
         n = h * w * c
         codes.append(bits[pos : pos + n].reshape(1, h, w, c).astype(np.float32))
         pos += n
-    return codes, (H, W)
+
+    side = SideInfo()
+    if ver == VERSION2:
+        def take(n):
+            nonlocal off
+            chunk = data[off : off + n]
+            if len(chunk) != n:
+                raise ValueError("truncated .jpds side-info section")
+            off += n
+            return chunk
+
+        (flags,) = struct.unpack("<B", take(1))
+        if flags & 1:
+            (n,) = struct.unpack("<I", take(4))
+            side.label = decode_idmap_png(take(n)).astype(np.uint8)
+        if flags & 2:
+            (n,) = struct.unpack("<I", take(4))
+            side.instance = decode_idmap_png(take(n)).astype(np.int32)
+        if flags & 4:
+            (n_ext,) = struct.unpack("<B", take(1))
+            side.base_ext = take(n_ext).decode("ascii")
+            (n_pay,) = struct.unpack("<B", take(1))
+            side.base_payloads = []
+            for _ in range(n_pay):
+                (n,) = struct.unpack("<I", take(4))
+                side.base_payloads.append(take(n))
+    return Bitstream(codes=codes, image_hw=(H, W), side=side)
+
+
+def unpack(data: bytes) -> Tuple[List[np.ndarray], Tuple[int, int]]:
+    """Returns (codes [(1, h, w, c) float32 {0,1}], (H, W)). Side info, if
+    present, is parsed and discarded — use unpack_full for deploy decode."""
+    bs = unpack_full(data)
+    return bs.codes, bs.image_hw

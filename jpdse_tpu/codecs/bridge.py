@@ -85,54 +85,38 @@ def available_codecs() -> List[str]:
 _bpg_fallback_warned = False
 
 
-def _heif_round_trip(img: Image.Image, quality: int) -> Tuple[Image.Image, int]:
-    from jpdse_tpu import native
-
-    rgb = np.asarray(img, np.uint8)
-    stream = native.heif_encode(rgb, quality=int(quality))
-    dec = native.heif_decode(stream)
-    return Image.fromarray(dec), len(stream)
+_PIL_FMT = {"jpg": "JPEG", "webp": "WEBP", "avif": "AVIF", "j2k": "JPEG2000"}
 
 
-def _pil_round_trip(img: Image.Image, fmt: str, save_kwargs: dict) -> Tuple[Image.Image, int]:
-    buf = io.BytesIO()
-    img.save(buf, format=fmt, **save_kwargs)
-    nbytes = buf.tell()
-    buf.seek(0)
-    out = Image.open(buf)
-    out.load()
-    return out.convert("RGB"), nbytes
-
-
-def encode_decode(
+def encode_bytes(
     img: "Image.Image | np.ndarray", ext: str, quality: int
-) -> Tuple[Image.Image, int]:
-    """One image through the base codec. Returns (decoded RGB PIL image,
-    bitstream bytes). Quality scales follow the reference's converter
-    (pix2pixHD_model.py:305-319): PIL quality for jpg/webp, rate for j2k,
-    BPG quantizer for bpg."""
+) -> Tuple[bytes, str]:
+    """Encode one RGB image to the base codec's bitstream. Returns
+    (stream bytes, effective codec name) — 'bpg' without the binaries
+    resolves to the in-process HEVC codec, so the effective name ('heif')
+    is what a receiver must decode with. Quality scales follow the
+    reference's converter (pix2pixHD_model.py:305-319)."""
     if isinstance(img, np.ndarray):
         img = Image.fromarray(img)
     img = img.convert("RGB")
-    if ext == "jpg":
-        return _pil_round_trip(img, "JPEG", {"quality": int(quality)})
-    if ext == "webp":
-        return _pil_round_trip(img, "WEBP", {"quality": int(quality)})
-    if ext == "avif":
-        # AV1 intra via libavif (PIL plugin) — a modern base codec beyond the
-        # reference's four; quality in [0, 100]
-        return _pil_round_trip(img, "AVIF", {"quality": int(quality)})
-    if ext == "j2k":
-        return _pil_round_trip(
-            img, "JPEG2000", {"quality_mode": "rates", "quality_layers": [quality]}
+    if ext in _PIL_FMT:
+        kwargs = (
+            {"quality_mode": "rates", "quality_layers": [quality]}
+            if ext == "j2k"
+            else {"quality": int(quality)}
         )
+        buf = io.BytesIO()
+        img.save(buf, format=_PIL_FMT[ext], **kwargs)
+        return buf.getvalue(), ext
     if ext == "heif":
         if not _heif_ok():
             raise CodecUnavailable(
                 "in-process HEVC codec unavailable (libheif/x265/de265 not "
                 "loadable) — use ext in {jpg, webp, j2k}"
             )
-        return _heif_round_trip(img, quality)
+        from jpdse_tpu import native
+
+        return native.heif_encode(np.asarray(img, np.uint8), quality=int(quality)), "heif"
     if ext == "bpg":
         if not (_BPG_ENC and _BPG_DEC):
             if _heif_ok():
@@ -148,14 +132,14 @@ def encode_decode(
                         "in-process HEVC-intra codec (ext heif) with "
                         "q_heif = 100 - 2*q_bpg"
                     )
-                return _heif_round_trip(img, max(0, min(100, 100 - 2 * int(quality))))
+                return encode_bytes(img, "heif", max(0, min(100, 100 - 2 * int(quality))))
             raise CodecUnavailable(
                 "bpgenc/bpgdec not found on PATH — install libbpg or use "
                 "ext in {jpg, webp, j2k, heif}"
             )
         d = _ramdisk_dir()
         stem = os.path.join(d, f"jpdse_{uuid.uuid4().hex}")
-        png, bpg, out = stem + ".png", stem + ".bpg", stem + "_dec.png"
+        png, bpg = stem + ".png", stem + ".bpg"
         try:
             img.save(png)
             subprocess.run(
@@ -163,18 +147,55 @@ def encode_decode(
                 check=True,
                 capture_output=True,
             )
-            nbytes = os.path.getsize(bpg)
+            with open(bpg, "rb") as f:
+                return f.read(), "bpg"
+        finally:
+            for p in (png, bpg):
+                if os.path.exists(p):
+                    os.unlink(p)
+    raise ValueError("format must be one of jpg, webp, j2k, avif, heif, or bpg")
+
+
+def decode_bytes(stream: bytes, ext: str) -> np.ndarray:
+    """Decode a base-codec bitstream (as produced by encode_bytes, with the
+    *effective* codec name) to a uint8 RGB array."""
+    if ext in _PIL_FMT:
+        img = Image.open(io.BytesIO(stream))
+        img.load()
+        return np.asarray(img.convert("RGB"), np.uint8)
+    if ext == "heif":
+        from jpdse_tpu import native
+
+        return native.heif_decode(stream)
+    if ext == "bpg":
+        if not _BPG_DEC:
+            raise CodecUnavailable("bpgdec not found on PATH")
+        d = _ramdisk_dir()
+        stem = os.path.join(d, f"jpdse_{uuid.uuid4().hex}")
+        bpg, out = stem + ".bpg", stem + "_dec.png"
+        try:
+            with open(bpg, "wb") as f:
+                f.write(stream)
             subprocess.run(
                 [_BPG_DEC, "-o", out, bpg], check=True, capture_output=True
             )
             decoded = Image.open(out).convert("RGB")
             decoded.load()
-            return decoded, nbytes
+            return np.asarray(decoded, np.uint8)
         finally:
-            for p in (png, bpg, out):
+            for p in (bpg, out):
                 if os.path.exists(p):
                     os.unlink(p)
-    raise ValueError("format must be one of jpg, webp, j2k, avif, heif, or bpg")
+    raise ValueError(f"unknown codec {ext}")
+
+
+def encode_decode(
+    img: "Image.Image | np.ndarray", ext: str, quality: int
+) -> Tuple[Image.Image, int]:
+    """One image through the base codec. Returns (decoded RGB PIL image,
+    bitstream bytes)."""
+    stream, eff = encode_bytes(img, ext, quality)
+    return Image.fromarray(decode_bytes(stream, eff)), len(stream)
 
 
 _POOL: Optional[ThreadPoolExecutor] = None
@@ -201,17 +222,33 @@ def compress_for_model(
     qualities: Sequence[int],
     mean,
     std,
-) -> Tuple[np.ndarray, int]:
+    return_streams: bool = False,
+):
     """The model-facing path (compress, pix2pixHD_model.py:324-359): round-trip
     one uint8 HWC image at each quality factor, normalize to model space, and
     concatenate the per-quality outputs on the channel axis.
 
-    Returns (float32 (H, W, 3*len(qualities)), total bitstream bytes).
-    """
-    outs, total = [], 0
+    Returns (float32 (H, W, 3*len(qualities)), total bitstream bytes); with
+    ``return_streams`` also (streams list, effective codec name) so the exact
+    bitstreams can be embedded in a .jpds file (codec_io.SideInfo)."""
+    outs, streams, total = [], [], 0
+    eff = ext
     for q in qualities:
-        dec, nbytes = encode_decode(img_uint8, ext, q)
-        total += nbytes
-        arr = np.asarray(dec, np.float32) / 255.0
+        stream, eff = encode_bytes(img_uint8, ext, q)
+        streams.append(stream)
+        total += len(stream)
+        arr = decode_bytes(stream, eff).astype(np.float32) / 255.0
         outs.append((arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32))
-    return np.concatenate(outs, axis=-1), total
+    cat = np.concatenate(outs, axis=-1)
+    if return_streams:
+        return cat, total, streams, eff
+    return cat, total
+
+
+def normalize_decoded(
+    rgb_u8: np.ndarray, mean, std
+) -> np.ndarray:
+    """uint8 HWC -> model-space float32 (the normalization compress_for_model
+    applies) — the deploy decoder uses this on decode_bytes output."""
+    arr = rgb_u8.astype(np.float32) / 255.0
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)

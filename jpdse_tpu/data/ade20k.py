@@ -97,10 +97,13 @@ class ADE20KDataset(PairedDataset):
             img_u8 = tensor2im(
                 sample["image"], cfg.data.normalize_mean, cfg.data.normalize_std
             )
-            compressed, nbytes = compress_for_model(
+            compressed, nbytes, streams, eff_ext = compress_for_model(
                 img_u8, cfg.codec.ext, cfg.codec.quality,
                 cfg.data.normalize_mean, cfg.data.normalize_std,
+                return_streams=True,
             )
             sample["compressed"] = compressed
             sample["base_codec_bytes"] = nbytes
+            sample["base_codec_streams"] = streams
+            sample["base_codec_ext"] = eff_ext
         return sample

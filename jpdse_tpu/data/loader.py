@@ -24,8 +24,8 @@ def collate(samples: List[Dict]) -> Dict:
     out: Dict = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
-        if key == "path":
-            out[key] = vals
+        if key in ("path", "base_codec_streams", "base_codec_ext"):
+            out[key] = vals  # host-side lists (paths / raw codec bitstreams)
         elif key == "base_codec_bytes":
             out[key] = np.asarray(vals, np.int64)
         else:

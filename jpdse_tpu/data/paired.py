@@ -175,16 +175,21 @@ class PairedDataset:
 
         if cfg.codec.use_compressed:
             # external base codec round trip on the *transformed* image
-            # (pix2pixHD_model.py:324-359)
+            # (pix2pixHD_model.py:324-359); the exact bitstreams ride along so
+            # the deploy encoder (trainer.compress) can embed them in .jpds
+            # side info without re-encoding
             img_u8 = tensor2im(image_arr, cfg.data.normalize_mean, cfg.data.normalize_std)
-            compressed, nbytes = compress_for_model(
+            compressed, nbytes, streams, eff_ext = compress_for_model(
                 img_u8,
                 cfg.codec.ext,
                 cfg.codec.quality,
                 cfg.data.normalize_mean,
                 cfg.data.normalize_std,
+                return_streams=True,
             )
             sample["compressed"] = compressed
             sample["base_codec_bytes"] = nbytes
+            sample["base_codec_streams"] = streams
+            sample["base_codec_ext"] = eff_ext
 
         return self.postprocess(sample)

@@ -51,6 +51,13 @@ def evaluate(
 
     rng = np.random.default_rng(cfg.optim.seed or 0)
     mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+    try:
+        from jpdse_tpu.codec_io import side_requirements
+
+        need_label_side, need_inst_side, _ = side_requirements(cfg)
+    except ValueError:
+        # raw uncompressed visuals: not deployable, no side accounting
+        need_label_side = need_inst_side = False
     totals: Dict[str, float] = {
         "L1": 0.0, "MSE": 0.0, "PSNR": 0.0, "MS-SSIM": 0.0,
         "shannon_bpp": 0.0, "actual_bpp": 0.0,
@@ -77,6 +84,29 @@ def evaluate(
             h, w = batch["image"].shape[1:3]
             totals["base_codec_bpp"] = totals.get("base_codec_bpp", 0.0) + float(
                 np.sum(np.asarray(batch["base_codec_bytes"], np.float64)) * 8.0 / (h * w)
+            )
+
+        # semantics side-info rate: raw-semantics configs ship the label /
+        # instance maps as lossless PNGs in the .jpds container (codec_io) —
+        # count those bytes so total_bpp covers everything a receiver needs
+        if need_label_side or need_inst_side:
+            from jpdse_tpu.codec_io import encode_idmap_png
+
+            h, w = batch["image"].shape[1:3]
+            nbytes = 0
+            for j in range(batch["image"].shape[0]):
+                if need_label_side and "label" in batch:
+                    nbytes += len(
+                        encode_idmap_png(
+                            np.asarray(batch["label"][j]).astype(np.uint8)
+                        )
+                    )
+                if need_inst_side and "instance" in batch:
+                    nbytes += len(
+                        encode_idmap_png(np.asarray(batch["instance"][j]))
+                    )
+            totals["sem_side_bpp"] = totals.get("sem_side_bpp", 0.0) + (
+                nbytes * 8.0 / (h * w)
             )
 
         recon = trainer.get_img(batch)
@@ -158,6 +188,8 @@ def evaluate(
     learned = avgs.get("coded_bpp")
     if learned is None:
         learned = avgs.get("actual_bpp", 0.0) if get_codes else 0.0
-    avgs["total_bpp"] = learned + avgs.get("base_codec_bpp", 0.0)
+    avgs["total_bpp"] = (
+        learned + avgs.get("base_codec_bpp", 0.0) + avgs.get("sem_side_bpp", 0.0)
+    )
     avgs["n_images"] = n_images
     return avgs

@@ -223,13 +223,20 @@ class SemanticCodec(nn.Module):
             for c in self.get_codes_shaped(inputs, deterministic=deterministic)
         ]
 
-    def decode_from_codes(self, codes: List[jax.Array], train: bool = False):
-        """Deploy-time decoder side: reconstruct the image from the binary
-        codes alone (the bitstream payload), with no access to the original
-        label/instance/image. Requires the fully-learned configuration (both
-        semantics and visuals ride through binarized encoders; the reference
-        never had this — its test.py dumped codes but could not decode them
-        back, test.py:98-110).
+    def decode_from_codes(
+        self,
+        codes: List[jax.Array],
+        side_inputs: Optional[Dict[str, Optional[jax.Array]]] = None,
+        train: bool = False,
+    ):
+        """Deploy-time decoder side: reconstruct the image from the bitstream
+        content alone. Learned (binarized) branches resume from their codes;
+        raw branches (the reference's flagship recipe: raw one-hot semantics
+        + base-codec visuals, scripts/pix2pixHD_bpg_train.sh:5-7) read from
+        ``side_inputs`` — a prepare_inputs dict built from the .jpds side-info
+        sections (codec_io.SideInfo). The reference never had any of this —
+        its test.py dumped codes but could not decode them back
+        (test.py:98-110).
 
         ``codes``: (B, h, w, C) arrays in {0, 1}, in get_codes_shaped order.
         """
@@ -238,18 +245,31 @@ class SemanticCodec(nn.Module):
             # G-bottleneck config: single code resumes the generator trunk
             code_pm1 = codes[0] * 2.0 - 1.0
             return self.netG.decode_from_code(code_pm1.astype(self.netG.dtype), train=train)
-        parts = []
+
+        def need_side(what):
+            if side_inputs is None:
+                raise ValueError(
+                    f"decode_from_codes: this configuration carries {what} "
+                    "outside the learned codes — pack them as .jpds side info "
+                    "(codec_io.SideInfo) and pass side_inputs"
+                )
+
         i = 0
+        input_label = None
         if cfg.use_netE4label and not m.no_label_encoder_binarization:
             c = codes[i] * 2.0 - 1.0
-            parts.append(self.netE4label.decode_from_code(
-                c.astype(self.netE4label.dtype), train=train))
+            input_label = self.netE4label.decode_from_code(
+                c.astype(self.netE4label.dtype), train=train)
             i += 1
-        else:
-            raise ValueError(
-                "decode_from_codes requires learned (binarized) semantics — "
-                "raw-semantics configs need the label map as side info"
-            )
+        elif not m.no_label and not m.sem_masking:
+            # (under sem_masking the label only shapes masked_img below)
+            need_side("raw semantics (label/instance maps)")
+            input_label = side_inputs["input_label"]
+            if cfg.use_netE4label:
+                # label encoder without a binarizer: run it on the side input
+                input_label = self.netE4label(input_label, train=train)
+
+        feat = None
         if not m.no_feat:
             if cfg.use_netE and not m.no_encoder_binarization:
                 c = codes[i] * 2.0 - 1.0
@@ -257,12 +277,38 @@ class SemanticCodec(nn.Module):
                 i += 1
                 if m.inst_wise_pool:
                     raise ValueError("inst_wise_pool needs instance ids at decode time")
-                parts.append(feat.astype(parts[0].dtype))
             else:
-                raise ValueError(
-                    "decode_from_codes requires learned (binarized) visuals"
+                need_side("visual features (base-codec payload)")
+                vis = (
+                    side_inputs["compressed_img"]
+                    if cfg.codec.use_compressed
+                    else side_inputs["real_image"]
                 )
-        concat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+                if m.sem_masking:
+                    vis = side_inputs["masked_img"]
+                if cfg.use_netE:
+                    # encoder without binarizer: run it on the side visuals
+                    feat = self.netE(
+                        vis,
+                        inst=side_inputs.get("instance_ids"),
+                        inst_wise_pool=m.inst_wise_pool,
+                        num_segments=m.max_instance_id,
+                        train=train,
+                    )
+                else:
+                    feat = vis
+
+        # assembly rules of _generator_input (pix2pixHD_model.py:545-606)
+        if feat is None:
+            concat = input_label
+        elif m.sem_masking:
+            concat = feat
+        elif input_label is None:
+            concat = feat
+        else:
+            concat = jnp.concatenate(
+                [input_label, feat.astype(input_label.dtype)], axis=-1
+            )
         return self.netG(concat, train=train)
 
     def get_codes_shaped(self, inputs, deterministic: bool = True) -> List[jax.Array]:

@@ -393,42 +393,80 @@ class FastCodec:
         return self._jit_codes_shaped(self.weights, batch)
 
     def decode_from_codes_fn(
-        self, weights: Dict, codes: List[jax.Array]
+        self,
+        weights: Dict,
+        codes: List[jax.Array],
+        side_batch: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
-        """Deploy-time decoder from the bitstream payload alone ((B, h, w, C)
-        {0,1} codes in get_codes_shaped order) — mirrors
+        """Deploy-time decoder from the bitstream content alone ((B, h, w, C)
+        {0,1} codes in get_codes_shaped order, plus the .jpds side-info
+        sections as a loader-shaped batch for raw branches) — mirrors
         SemanticCodec.decode_from_codes with the s2d-optimized trunks."""
         m = self.cfg.model
         if not m.no_generator_binarization:
             return self.netG.decode_from_code(
                 weights["netG"], codes[0] * 2.0 - 1.0
             )
-        parts = []
+        side_inputs = None
+        if side_batch is not None:
+            if side_batch.get("label") is None and side_batch.get("instance") is None:
+                # semantics ride in the codes; only visuals come from side
+                dt = self.netG.dtype
+                comp = side_batch.get("compressed")
+                side_inputs = {
+                    "input_label": None,
+                    "real_image": side_batch["image"].astype(dt),
+                    "instance_ids": None,
+                    "masked_img": None,
+                    "compressed_img": comp.astype(dt) if comp is not None else None,
+                }
+            else:
+                side_inputs = self._inputs(side_batch)
+
+        def need_side(what):
+            if side_inputs is None:
+                raise ValueError(
+                    f"decode_from_codes: {what} must ride as .jpds side info "
+                    "for this configuration"
+                )
+
         i = 0
+        input_label = None
         if self.netE4label is not None and not m.no_label_encoder_binarization:
-            parts.append(self.netE4label.decode_from_code(
+            input_label = self.netE4label.decode_from_code(
                 weights["netE4label"], codes[i] * 2.0 - 1.0
-            ))
-            i += 1
-        else:
-            raise ValueError(
-                "decode_from_codes requires learned (binarized) semantics"
             )
+            i += 1
+        elif not m.no_label:
+            need_side("raw semantics")
+            input_label = side_inputs["input_label"]
+            if self.netE4label is not None:
+                input_label = self.netE4label(weights["netE4label"], input_label)
+        feat = None
         if not m.no_feat:
             if self.netE is not None and not m.no_encoder_binarization:
                 feat = self.netE.decode_from_code(
                     weights["netE"], codes[i] * 2.0 - 1.0
                 )
-                i += 1  # keep the index math in lockstep with codec.py:258
-                parts.append(feat.astype(parts[0].dtype))
+                i += 1  # keep the index math in lockstep with codec.py
             else:
-                raise ValueError(
-                    "decode_from_codes requires learned (binarized) visuals"
-                )
-        concat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+                need_side("visual features (base-codec payload)")
+                feat = self._vis(side_inputs)
+                if self.netE is not None:
+                    feat = self.netE(weights["netE"], feat)
+        if feat is None:
+            concat = input_label
+        elif input_label is None:
+            concat = feat
+        else:
+            concat = jnp.concatenate(
+                [input_label, feat.astype(input_label.dtype)], axis=-1
+            )
         return self.netG(weights["netG"], concat)
 
-    def decode_from_codes(self, codes: List[jax.Array]) -> jax.Array:
+    def decode_from_codes(
+        self, codes: List[jax.Array], side_batch: Optional[Dict] = None
+    ) -> jax.Array:
         if self._jit_decode_codes is None:
             self._jit_decode_codes = jax.jit(self.decode_from_codes_fn)
-        return self._jit_decode_codes(self.weights, codes)
+        return self._jit_decode_codes(self.weights, codes, side_batch)

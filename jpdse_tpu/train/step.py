@@ -348,13 +348,32 @@ def make_shaped_codes_fn(cfg: Config, codec: SemanticCodec):
 
 
 def make_decode_from_codes_fn(cfg: Config, codec: SemanticCodec):
-    """Deploy-time decoder: (params, mstate, codes) -> image, from the
-    bitstream payload alone (codec_io.py / SemanticCodec.decode_from_codes)."""
+    """Deploy-time decoder: (params, mstate, codes, side_batch) -> image,
+    from the bitstream content alone (codec_io.py /
+    SemanticCodec.decode_from_codes). ``side_batch`` is None for fully
+    learned configs; for raw-semantics / base-codec configs it carries the
+    .jpds side-info sections as a loader-shaped batch dict."""
 
-    def fn(params_g, mstate_g, codes):
+    def side_inputs_from(side_batch):
+        if side_batch is None:
+            return None
+        if side_batch.get("label") is None and side_batch.get("instance") is None:
+            # semantics ride in the codes; only visuals come from side info
+            return {
+                "input_label": None,
+                "real_image": side_batch["image"],
+                "instance_ids": None,
+                "masked_img": None,
+                "compressed_img": side_batch.get("compressed"),
+            }
+        return _inputs_from_batch(cfg, side_batch)
+
+    def fn(params_g, mstate_g, codes, side_batch):
+        side_inputs = side_inputs_from(side_batch)
         return codec.apply(
             {"params": params_g, **mstate_g},
             codes,
+            side_inputs,
             method=SemanticCodec.decode_from_codes,
         )
 

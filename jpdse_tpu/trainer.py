@@ -276,35 +276,116 @@ class Trainer:
         ctxs = contexts_for_shapes([c.shape[1:] for c in shaped])
         return np.concatenate(flats, axis=-1), ctxs
 
-    def compress(self, batch: Dict) -> List[bytes]:
-        """Per-image .jpds bitstreams (codec_io format): encoders -> binary
-        codes -> per-channel-context range coding. The deploy-time encoder."""
+    def _side_requirements(self):
+        """See codec_io.side_requirements."""
         from jpdse_tpu import codec_io
 
-        shaped = self._shaped_codes(batch)
-        if not shaped:
-            raise ValueError("no binarized module in this configuration")
+        return codec_io.side_requirements(self.cfg)
+
+    def compress(self, batch: Dict) -> List[bytes]:
+        """Per-image .jpds bitstreams (codec_io format): binarized modules ->
+        entropy-coded codes; raw branches (the reference's flagship phase-2
+        recipe: raw semantics + base-codec visuals) -> v2 side-info sections
+        (lossless label/instance PNGs + the base codec's own payload). The
+        deploy-time encoder; every byte a receiver needs is in the file."""
+        from jpdse_tpu import codec_io
+
+        cfg = self.cfg
+        need_label, need_inst, need_base = self._side_requirements()
+        shaped = self._shaped_codes(batch) if cfg.has_binary_codes else []
         shaped = [np.asarray(c) for c in shaped]
+        if not shaped and not (need_label or need_base):
+            raise ValueError(
+                "nothing to pack: no binarized module and no side info in "
+                "this configuration"
+            )
+        if need_base and "base_codec_streams" not in batch:
+            raise ValueError(
+                "use_compressed batch lacks base_codec_streams — load data "
+                "through the framework loader (data/paired.py)"
+            )
         h, w = batch["image"].shape[1:3]
         out = []
-        for j in range(shaped[0].shape[0]):
-            out.append(codec_io.pack([c[j] for c in shaped], (h, w)))
+        for j in range(batch["image"].shape[0]):
+            side = codec_io.SideInfo()
+            if need_label:
+                side.label = np.asarray(batch["label"][j]).astype(np.uint8)
+            if need_inst:
+                side.instance = np.asarray(batch["instance"][j]).astype(np.int32)
+            if need_base:
+                side.base_ext = batch["base_codec_ext"][j]
+                side.base_payloads = list(batch["base_codec_streams"][j])
+            out.append(
+                codec_io.pack(
+                    [c[j] for c in shaped], (h, w),
+                    side if not side.empty() else None,
+                )
+            )
         return out
+
+    def _side_batch_from(self, bs) -> Optional[Dict]:
+        """Reconstruct a loader-shaped batch dict from .jpds side info."""
+        cfg, m = self.cfg, self.cfg.model
+        need_label, need_inst, need_base = self._side_requirements()
+        if not (need_label or need_inst or need_base):
+            return None
+        H, W = bs.image_hw
+        side_batch: Dict = {"image": np.zeros((1, H, W, 3), np.float32)}
+        if need_label:
+            if bs.side.label is None:
+                raise ValueError(
+                    "bitstream lacks the label map this configuration needs"
+                )
+            side_batch["label"] = bs.side.label.astype(np.float32)[None]
+        if need_inst:
+            if bs.side.instance is None:
+                raise ValueError(
+                    "bitstream lacks the instance map this configuration needs"
+                )
+            side_batch["instance"] = bs.side.instance.astype(np.int32)[None]
+        if need_base:
+            if not bs.side.base_payloads:
+                raise ValueError(
+                    "bitstream lacks the base-codec payload this "
+                    "configuration needs"
+                )
+            from jpdse_tpu.codecs.bridge import decode_bytes, normalize_decoded
+
+            arrs = [
+                normalize_decoded(
+                    decode_bytes(p, bs.side.base_ext),
+                    cfg.data.normalize_mean, cfg.data.normalize_std,
+                )
+                for p in bs.side.base_payloads
+            ]
+            side_batch["compressed"] = np.concatenate(arrs, axis=-1)[None]
+        return side_batch
 
     def decompress(self, data: bytes) -> np.ndarray:
         """Decode one .jpds bitstream back to an image (H, W, C), using only
         the bitstream + model parameters. The deploy-time decoder."""
         from jpdse_tpu import codec_io
 
-        codes, _ = codec_io.unpack(data)
-        codes = [jnp.asarray(c) for c in codes]
+        bs = codec_io.unpack_full(data)
+        codes = [jnp.asarray(c) for c in bs.codes]
+        side_batch = self._side_batch_from(bs)
+        if not codes:
+            # all-raw configuration (e.g. the reference's phase-2 flagship):
+            # the side info IS the bitstream; run the full decode path
+            if side_batch is None:
+                raise ValueError("empty bitstream: no codes and no side info")
+            if self._fast is not None:
+                return np.asarray(self._fast.decode(side_batch)[0])
+            return np.asarray(
+                self._infer(self.state.params_g, self._mg(), self._place(side_batch))[0]
+            )
         if self._fast is not None:
-            return np.asarray(self._fast.decode_from_codes(codes)[0])
+            return np.asarray(self._fast.decode_from_codes(codes, side_batch)[0])
         if self._decode_codes is None:
             from jpdse_tpu.train.step import make_decode_from_codes_fn
 
             self._decode_codes = make_decode_from_codes_fn(self.cfg, self.codec)
-        img = self._decode_codes(self.state.params_g, self._mg(), codes)
+        img = self._decode_codes(self.state.params_g, self._mg(), codes, side_batch)
         return np.asarray(img[0])
 
     def get_eval_rate(self, batch: Dict) -> Tuple[float, float]:
