@@ -17,9 +17,10 @@ Example:
 import json
 import os
 
-from jpdse_tpu.platform import honor_jax_platforms_env
+from jpdse_tpu.platform import honor_jax_platforms_env, init_distributed
 
 honor_jax_platforms_env()
+init_distributed()  # no-op unless a multi-process run is configured
 
 from jpdse_tpu.cli import parse_config, print_config
 from jpdse_tpu.config import derive_eval_config

@@ -14,9 +14,10 @@ import glob
 import os
 import sys
 
-from jpdse_tpu.platform import honor_jax_platforms_env
+from jpdse_tpu.platform import honor_jax_platforms_env, init_distributed
 
 honor_jax_platforms_env()
+init_distributed()  # no-op unless a multi-process run is configured
 
 import numpy as np
 from PIL import Image

@@ -257,9 +257,16 @@ class CodecConfig:
 class ParallelConfig:
     """Device-mesh knobs — the reference has no distributed support
     (base_parser.py:236 raises on multi-GPU); here DP + spatial sharding are
-    first-class."""
+    first-class.
 
-    data_axis: int = -1  # -1: use all remaining devices on the data axis
+    Multi-host: when the entry points detect a multi-process run
+    (platform.init_distributed via JPDSE_COORDINATOR/JPDSE_NUM_PROCESSES/
+    JPDSE_PROCESS_ID, or JPDSE_MULTIHOST=1 on TPU pods), the trainer builds
+    a (dcn, data, spatial) mesh automatically — 'dcn' spans processes, and
+    data_axis/spatial_axis below subdivide each host's local devices.
+    batch_size is then per-host; loaders feed disjoint rank-strided shards."""
+
+    data_axis: int = -1  # -1: use all remaining (local) devices on data
     spatial_axis: int = 1  # H-axis sharding factor (halo-exchange convs)
 
 

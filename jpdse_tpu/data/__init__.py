@@ -32,6 +32,18 @@ def find_dataset_using_name(name: str):
 def create_dataloader(cfg: Config) -> DataLoader:
     dataset = find_dataset_using_name(cfg.data.dataset)(cfg)
     print(f"dataset [{type(dataset).__name__}] of size {len(dataset)} was created")
+    # multi-host training: each process feeds a disjoint rank-strided shard
+    # (jax.distributed initialized at entry, platform.init_distributed);
+    # eval stays unsharded so every host sees the same metric stream
+    rank, world = 0, 1
+    if cfg.is_train:
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                rank, world = jax.process_index(), jax.process_count()
+        except Exception:
+            pass
     return DataLoader(
         dataset,
         batch_size=cfg.data.batch_size,
@@ -39,4 +51,6 @@ def create_dataloader(cfg: Config) -> DataLoader:
         drop_last=cfg.is_train,
         num_workers=cfg.data.num_workers,
         seed=cfg.optim.seed,
+        rank=rank,
+        world=world,
     )

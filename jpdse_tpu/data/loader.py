@@ -43,6 +43,8 @@ class DataLoader:
         num_workers: int = 4,
         seed: Optional[int] = None,
         prefetch: int = 2,
+        rank: int = 0,
+        world: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -52,9 +54,18 @@ class DataLoader:
         self.seed = seed if seed is not None else 0
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host sharding: every host draws the SAME seeded permutation,
+        # then keeps its rank-strided slice — disjoint per-host sample sets
+        # with no coordination traffic
+        self.rank = rank
+        self.world = max(1, world)
+
+    def _n_local(self) -> int:
+        n = len(self.dataset)
+        return len(range(self.rank, n, self.world))
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._n_local()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -67,8 +78,11 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        if self.world > 1:
+            idx = idx[self.rank :: self.world]
         batches = [
-            list(idx[i : i + self.batch_size]) for i in range(0, n, self.batch_size)
+            list(idx[i : i + self.batch_size])
+            for i in range(0, len(idx), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

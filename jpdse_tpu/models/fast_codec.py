@@ -151,6 +151,10 @@ class _FastTrunk:
             return n / (-(-n // 128) * 128)
 
         self.tail_split = "none"
+        # JPDSE_TAIL_WGROUP: width taps kept inside the kernel per split
+        # group (1 = per-tap split, N = kw*Cout; 2 = pairs, N = kw/2*Cout
+        # with half the intermediate-z HBM traffic)
+        self.tail_wgroup = int(os.environ.get("JPDSE_TAIL_WGROUP", "1"))
         if os.environ.get("JPDSE_TAIL_SPLIT", "1") == "1":
             if ntaps * cout4 <= 256:
                 self.tail_split = "full"  # e.g. RGB tails: N 12 -> 192
@@ -160,7 +164,9 @@ class _FastTrunk:
         if self.tail_split == "full":
             w["tail_w"] = jnp.asarray(weights_tap_split(wt_p), dtype)
         elif self.tail_split == "w":
-            w["tail_w"] = jnp.asarray(weights_tap_split_w(wt_p), dtype)
+            w["tail_w"] = jnp.asarray(
+                weights_tap_split_w(wt_p, self.tail_wgroup), dtype
+            )
         else:
             w["tail_w"] = jnp.asarray(wt_p, dtype)
         w["tail_b"] = jnp.asarray(_tile4(bt), dtype)
@@ -226,7 +232,7 @@ class _FastTrunk:
         if self.tail_split == "full":
             t = conv_tap_split(yp, w["tail_w"], self.tail_kp, self.tail_kp)
         elif self.tail_split == "w":
-            t = conv_tap_split_w(yp, w["tail_w"], self.tail_kp)
+            t = conv_tap_split_w(yp, w["tail_w"], self.tail_kp, self.tail_wgroup)
         else:
             t = conv_valid(yp, w["tail_w"])
         out = jnp.tanh(t + w["tail_b"])

@@ -5,9 +5,15 @@ denormalized, uint8-quantized images (test.py:114-125) plus PSNR (derived from
 MSE), and the Shannon-estimate + actual bpp of binary codes
 (pix2pixHD_model.py:468-492).
 
-MS-SSIM follows the pytorch_msssim package the reference depends on
-(README.md:23): 11x11 gaussian window (sigma 1.5), zero padding ws//2,
-5 levels with the standard Wang et al. weights and 2x2 avg-pool downsampling.
+MS-SSIM follows the exact package the reference depends on —
+jorge-pessoa/pytorch-msssim (README.md:23, test.py:13,51): 11x11 gaussian
+window (sigma 1.5) applied with **VALID padding (padding=0)**, 5 levels with
+the standard Wang et al. weights, 2x2 avg-pool (floor) downsampling, and
+output = prod(cs[:-1]^w[:-1]) * ssim_last^w[-1]. Pinned by a from-spec NumPy
+golden in tests/test_metrics.py. Deviations, both only where that library
+would crash or NaN: (a) levels whose spatial extent is smaller than the
+window fall back to zero padding; (b) negative cs terms are relu-clamped
+before the weighted product.
 """
 
 from __future__ import annotations
@@ -55,13 +61,15 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
 
 
 def _gaussian_filter(img: jax.Array, size: int, sigma: float) -> jax.Array:
-    """Depthwise separable gaussian blur with zero padding size//2, NHWC."""
+    """Depthwise separable gaussian blur, NHWC. VALID padding (the reference
+    metric library convolves with padding=0); zero-pad fallback only when the
+    input is smaller than the window (where valid conv is undefined)."""
     w = jnp.asarray(_gaussian_window(size, sigma))
     c = img.shape[-1]
     kh = jnp.tile(w.reshape(size, 1, 1, 1), (1, 1, 1, c))  # HWIO, I=1 (depthwise)
     kw = jnp.tile(w.reshape(1, size, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
-    pad = size // 2
+    pad = 0 if min(img.shape[1], img.shape[2]) >= size else size // 2
     out = jax.lax.conv_general_dilated(
         img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=c
     )

@@ -232,29 +232,45 @@ def conv_tap_split(x: jax.Array, w1: jax.Array, kh: int, kw: int) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def weights_tap_split_w(wp: np.ndarray) -> np.ndarray:
-    """(kh, kw, Cin, Cout) -> (kh, 1, Cin, kw*Cout) for the width-only
-    tap-split (see :func:`conv_tap_split_w`): output channel v*Cout + co
-    holds width-tap v's contribution."""
+def weights_tap_split_w(wp: np.ndarray, group: int = 1) -> np.ndarray:
+    """(kh, kw, Cin, Cout) -> (kh, group, Cin, (kw/group)*Cout) for the
+    width tap-split (see :func:`conv_tap_split_w`). ``group`` width taps are
+    kept INSIDE the conv kernel; the kw/group groups split into output
+    channels (group block g holds taps [g*group, (g+1)*group) at kernel
+    positions 0..group-1). group=1 is the original per-tap split; group=kw
+    is the direct conv."""
     kh, kw, cin, cout = wp.shape
-    return wp.transpose(0, 2, 1, 3).reshape(kh, 1, cin, kw * cout)
+    assert kw % group == 0
+    ng = kw // group
+    # output channel g*Cout + co <- taps g*group..g*group+group-1
+    out = np.zeros((kh, group, cin, ng * cout), wp.dtype)
+    for g in range(ng):
+        for s in range(group):
+            out[:, s, :, g * cout : (g + 1) * cout] = wp[:, g * group + s]
+    return out
 
 
-def conv_tap_split_w(x: jax.Array, w1: jax.Array, kw: int) -> jax.Array:
-    """VALID conv as a (kh, 1) conv over all width taps + fused shift-add.
+def conv_tap_split_w(
+    x: jax.Array, w1: jax.Array, kw: int, group: int = 1
+) -> jax.Array:
+    """VALID conv as a (kh, group) conv over width-tap groups + fused
+    shift-add over the kw/group groups.
 
     The partial split for tails whose Cout is large enough that the full
     16-way split (:func:`conv_tap_split`) would blow up memory but still
-    pads badly to 128 output lanes (netE4label: 144 -> 56% useful; split
-    N = 4*144 = 576 -> 90%). Accumulation over width taps is fp32.
+    pads badly to 128 output lanes (netE4label: 144 -> 56% useful; group=1
+    splits N to 4*144 = 576 -> 90%; group=2 to 288 -> 75% with half the
+    intermediate-z HBM traffic). Accumulation over groups is fp32.
     """
-    cout = w1.shape[-1] // kw
-    z = conv_valid(x, w1)  # (B, Ho, Wp, kw*Cout)
-    wo = z.shape[2] - kw + 1
+    ng = kw // group
+    cout = w1.shape[-1] // ng
+    z = conv_valid(x, w1)  # (B, Ho, Wp - group + 1, ng*Cout)
+    wo = z.shape[2] - (kw - group)
     out = jnp.zeros(z.shape[:2] + (wo, cout), jnp.float32)
-    for v in range(kw):
-        t = v * cout
-        out = out + z[:, :, v : v + wo, t : t + cout].astype(jnp.float32)
+    for g in range(ng):
+        t = g * cout
+        off = g * group
+        out = out + z[:, :, off : off + wo, t : t + cout].astype(jnp.float32)
     return out.astype(x.dtype)
 
 

@@ -39,9 +39,11 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> bool:
     """Initialize jax.distributed (idempotent). Returns True when running
-    multi-process, False for the common single-process case."""
+    multi-process, False for the common single-process case. ``auto`` defers
+    entirely to JAX's environment auto-detection (TPU pods)."""
     global _initialized
     coordinator_address = coordinator_address or os.environ.get("JPDSE_COORDINATOR")
     if num_processes is None and "JPDSE_NUM_PROCESSES" in os.environ:
@@ -49,14 +51,17 @@ def initialize(
     if process_id is None and "JPDSE_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JPDSE_PROCESS_ID"])
 
-    if coordinator_address is None and num_processes in (None, 1):
+    if not auto and coordinator_address is None and num_processes in (None, 1):
         return False  # single-process; nothing to do
     if not _initialized:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        if auto and coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
         _initialized = True
     return jax.process_count() > 1
 
@@ -98,5 +103,37 @@ def make_global_batch(batch: Dict, mesh: Mesh, shard_spatial: bool = True) -> Di
     for k, v in batch.items():
         arr = np.asarray(v)
         sharding = dcn_batch_sharding(mesh, arr.ndim, shard_spatial)
+        out[k] = jax.make_array_from_process_local_data(sharding, arr)
+    return out
+
+
+def make_global_batch_flexible(
+    batch: Dict, mesh: Mesh, shard_spatial: bool = True
+) -> Dict:
+    """Like make_global_batch, but degrades per array exactly like
+    mesh.shard_batch_flexible: batch dim shards over (dcn x data) only when
+    the per-host batch divides the local data axis (else the array is
+    REPLICATED — correct only when every host passes the same values, which
+    holds for the unsharded eval loaders); H shards over 'spatial' when
+    divisible."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, jax.Array):
+            out[k] = v  # already global (prefetch pre-placed)
+            continue
+        arr = np.asarray(v)
+        spec = [None] * arr.ndim
+        if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
+            spec[0] = (DCN_AXIS, DATA_AXIS)
+        if (
+            shard_spatial
+            and arr.ndim >= 3
+            and n_spatial > 1
+            and arr.shape[1] % n_spatial == 0
+        ):
+            spec[1] = SPATIAL_AXIS
+        sharding = NamedSharding(mesh, P(*spec))
         out[k] = jax.make_array_from_process_local_data(sharding, arr)
     return out

@@ -23,3 +23,22 @@ def honor_jax_platforms_env():
             jax.config.update("jax_platforms", want)
     except Exception:
         pass
+
+
+def init_distributed() -> bool:
+    """Entry-point hook: initialize jax.distributed when a multi-process run
+    is configured (JPDSE_COORDINATOR / JPDSE_NUM_PROCESSES / JPDSE_PROCESS_ID
+    env vars, or TPU-pod auto-detection via JPDSE_MULTIHOST=1). No-op —
+    returns False — for the common single-process case. Must run before any
+    backend initializes, i.e. right after honor_jax_platforms_env()."""
+    try:
+        from jpdse_tpu.parallel import distributed
+
+        if os.environ.get("JPDSE_MULTIHOST") == "1":
+            # TPU pods: coordinator/process env is auto-detected by JAX
+            return distributed.initialize(auto=True)
+        return distributed.initialize()
+    except Exception as e:
+        print(f"warning: jax.distributed initialization failed ({e}); "
+              "continuing single-process")
+        return False

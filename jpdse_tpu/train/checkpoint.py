@@ -52,10 +52,11 @@ def save_checkpoint(
     ckptr.save(os.path.abspath(os.path.join(save_dir, PARAMS_DIR)), params, force=True)
     ckptr.save(os.path.abspath(os.path.join(save_dir, OPT_DIR)), opt, force=True)
     ckptr.wait_until_finished()
-    meta = {"epoch": epoch}
-    meta.update(extra_meta or {})
-    with open(os.path.join(save_dir, META_FILE), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:  # host-side sidecar: primary writes
+        meta = {"epoch": epoch}
+        meta.update(extra_meta or {})
+        with open(os.path.join(save_dir, META_FILE), "w") as f:
+            json.dump(meta, f)
 
 
 def merge_trees(template, loaded, counter) -> object:

@@ -14,9 +14,10 @@ Example (QF sweep, scripts/pix2pixHD_bpg_test.sh):
 import json
 import os
 
-from jpdse_tpu.platform import honor_jax_platforms_env
+from jpdse_tpu.platform import honor_jax_platforms_env, init_distributed
 
 honor_jax_platforms_env()
+init_distributed()  # no-op unless a multi-process run is configured
 
 from jpdse_tpu.cli import parse_config, print_config
 from jpdse_tpu.config import derive_eval_config

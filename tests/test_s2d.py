@@ -154,6 +154,13 @@ class TestTapFolds:
         split = conv_tap_split_w(x, jnp.asarray(weights_tap_split_w(w)), 4)
         np.testing.assert_allclose(np.asarray(split), np.asarray(direct),
                                    rtol=1e-5, atol=1e-5)
+        # grouped variants: taps kept inside the kernel per group
+        for group in (2, 4):
+            gs = conv_tap_split_w(
+                x, jnp.asarray(weights_tap_split_w(w, group)), 4, group
+            )
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(direct),
+                                       rtol=1e-5, atol=1e-5)
 
 
 def test_instance_norm_s2d_large_mean_conditioning(monkeypatch):

@@ -17,9 +17,10 @@ import time
 
 import numpy as np
 
-from jpdse_tpu.platform import honor_jax_platforms_env
+from jpdse_tpu.platform import honor_jax_platforms_env, init_distributed
 
 honor_jax_platforms_env()
+init_distributed()  # no-op unless a multi-process run is configured
 
 from jpdse_tpu.cli import parse_config, print_config
 from jpdse_tpu.config import derive_eval_config
@@ -62,7 +63,9 @@ def validate(trainer, val_loader, log_file, cfg):
     return avg
 
 
-def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer):
+def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer, is_main=True):
+    """Under multi-host, EVERY process must run this (the jitted decode is a
+    collective over the global mesh); only the main process writes files."""
     print("\nsaving reconstructed val images...\n")
     limit = cfg.max_recon_dump if cfg.max_recon_dump is not None else MAX_VAL_SIZE
     n_dumped = 0
@@ -71,6 +74,8 @@ def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer):
             break
         n_dumped += batch["image"].shape[0]
         recon = trainer.get_img(batch)
+        if not is_main:
+            continue
         for j in range(recon.shape[0]):
             visuals = {}
             if not cfg.model.no_label:
@@ -87,10 +92,17 @@ def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
     start = time.time()
     # double-buffer host->device transfers (mesh-aware via trainer._place)
     batches = prefetch_to_device(loader, size=2, place_fn=trainer._place)
-    for i, batch in enumerate(batches):
-        metrics = trainer.step(batch)
-        metrics_log.log(trainer.steps_taken, metrics, epoch=epoch)
-        end = time.time()
+    # metrics are fetched one step LATE so the device runs ahead of the
+    # host's fetch round trips (trainer.step_async); steps are counted
+    # host-side so logging never synchronizes on device state
+    steps0 = trainer.steps_taken
+    n_batches = len(loader)
+    pending = None
+
+    def flush(pending_item):
+        i, handle, t0, t1 = pending_item
+        metrics = trainer.fetch_metrics(handle)
+        metrics_log.log(steps0 + i + 1, metrics, epoch=epoch)
         print(
             "g_gan: {G_GAN:.4f}, g_gan_feat_match: {G_GAN_Feat:.4f}, "
             "g_vgg: {G_VGG:.4f}, g_distortion: {G_Distortion:.4f}, "
@@ -98,12 +110,21 @@ def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
         )
         log(
             f"epoch {epoch + 1}/{trainer.start_epoch + cfg.optim.num_epochs}, "
-            f"batch {i + 1}/{len(loader)}, distortion "
+            f"batch {i + 1}/{n_batches}, distortion "
             f"({cfg.loss.distortion_loss_fn}) {metrics['G_Distortion']:.4f}, "
-            f"batch processing time (s) {end - start:.4f}",
+            f"batch processing time (s) {t1 - t0:.4f}",
             log_file,
         )
+
+    for i, batch in enumerate(batches):
+        handle = trainer.step_async(batch)
+        end = time.time()
+        if pending is not None:
+            flush(pending)
+        pending = (i, handle, start, end)
         start = time.time()
+    if pending is not None:
+        flush(pending)
 
 
 def main():
@@ -115,7 +136,13 @@ def main():
     if cfg.optim.seed is not None:
         np.random.seed(cfg.optim.seed)
 
-    if cfg.save_dir:
+    # multi-host: host-side artifacts (opt.json, galleries, logs) are written
+    # by process 0 only; trainer.save guards itself
+    import jax
+
+    is_main = jax.process_index() == 0
+
+    if cfg.save_dir and is_main:
         os.makedirs(cfg.save_dir, exist_ok=True)
         cfg.save(os.path.join(cfg.save_dir, "opt.json"))
 
@@ -130,8 +157,12 @@ def main():
     n_params = count_params(trainer.state.params_g)
     print(f"# trainable params at initialization: {n_params}")
 
-    log_file = os.path.join(cfg.save_dir, "loss_log.txt") if cfg.save_dir else None
-    metrics_log = MetricsLogger(cfg.save_dir)
+    log_file = (
+        os.path.join(cfg.save_dir, "loss_log.txt")
+        if cfg.save_dir and is_main
+        else None
+    )
+    metrics_log = MetricsLogger(cfg.save_dir if is_main else None)
 
     if cfg.load_model:
         trainer.load()
@@ -165,9 +196,19 @@ def main():
                 epoch=epoch,
             )
             if cfg.always_save or (avg < trainer.best_val_loss and cfg.save_dir):
-                dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer)
+                dump_reconstructions(
+                    trainer, val_loader, cfg, gallery, visualizer, is_main
+                )
                 log("saving model...", log_file)
                 trainer.save(epoch, avg)
+
+    if jax.process_count() > 1:
+        # keep fast processes alive until process 0 finishes its host-side
+        # writes (galleries, Orbax) — otherwise the early exit trips the
+        # jax.distributed shutdown barrier
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("jpdse_train_end")
 
 
 if __name__ == "__main__":
