@@ -14,13 +14,33 @@ import os
 
 def honor_jax_platforms_env():
     want = os.environ.get("JAX_PLATFORMS")
-    if not want:
-        return
     try:
         import jax
 
-        if jax.config.jax_platforms != want:
+        if want and jax.config.jax_platforms != want:
             jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+    setup_compilation_cache()
+
+
+def setup_compilation_cache():
+    """Enable JAX's persistent compilation cache (measured working through
+    the axon remote-compile relay, round 3: a fresh process re-loads a cached
+    executable instead of re-compiling — full-size graphs cost 5-18 min per
+    compile here, so repeated CLI invocations save that every time). Opt out
+    with JPDSE_COMPILATION_CACHE=0."""
+    if os.environ.get("JPDSE_COMPILATION_CACHE", "1") == "0":
+        return
+    path = os.environ.get(
+        "JPDSE_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jpdse_jax_cache"),
+    )
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
     except Exception:
         pass
 
