@@ -3,10 +3,13 @@
 
 The deliverable the reference never shipped: its test.py dumped raw code
 bytes that could not be decoded back (test.py:98-110). This writes real
-entropy-coded bitstreams (jpdse_tpu/codec_io.py format) that decompress.py
-reconstructs from the file + checkpoint alone. Requires a fully-learned
-configuration (binarized semantics + visuals, or a binarized generator
-bottleneck).
+bitstreams (jpdse_tpu/codec_io.py format) that decompress.py reconstructs
+from the file + checkpoint alone. Learned (binarized) modules ride as
+entropy-coded codes; raw branches — the reference's flagship phase-2
+recipe (raw one-hot semantics + base-codec visuals) — ride as v2 side-info
+sections (lossless label/instance PNGs + the base codec's own payload).
+Every byte a receiver needs is in the file; the printed bpp is the whole
+file.
 
 Example:
   python compress.py --load_opt --opt_file runs/learned/opt.json \\

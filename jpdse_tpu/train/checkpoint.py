@@ -35,8 +35,20 @@ def save_checkpoint(
     epoch: int,
     extra_meta: Optional[Dict] = None,
 ):
+    import gc
+
     os.makedirs(save_dir, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
+
+    def to_host(tree):
+        # Hand orbax HOST numpy trees, not device arrays: on the TPU relay,
+        # saving device arrays leaked ~one full host copy of the state per
+        # save (measured: a 390-epoch run grew to 70GB RSS over 28 saves and
+        # was OOM-killed). One explicit fetch here, freed after the write.
+        return jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+        )
+
     params = {"params_g": state.params_g, "params_d": state.params_d}
     if state.mstate_g:
         params["mstate_g"] = state.mstate_g
@@ -49,9 +61,13 @@ def save_checkpoint(
         "lambda_distortion_weight": state.lambda_distortion_weight,
         "best_val_loss": state.best_val_loss,
     }
+    params = to_host(params)
+    opt = to_host(opt)
     ckptr.save(os.path.abspath(os.path.join(save_dir, PARAMS_DIR)), params, force=True)
     ckptr.save(os.path.abspath(os.path.join(save_dir, OPT_DIR)), opt, force=True)
     ckptr.wait_until_finished()
+    del params, opt
+    gc.collect()
     if jax.process_index() == 0:  # host-side sidecar: primary writes
         meta = {"epoch": epoch}
         meta.update(extra_meta or {})
