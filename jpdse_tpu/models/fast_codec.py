@@ -43,6 +43,7 @@ from jpdse_tpu.ops.s2d import (
     fold_hw_taps,
     fold_w_taps,
     instance_norm_s2d,
+    s2d_realign_pad3,
     space_to_depth,
     weights_fold_hw,
     weights_fold_w,
@@ -227,8 +228,22 @@ class _FastTrunk:
         hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
         y = conv_valid(hp, w["uplast_w"]) + w["uplast_b"]
         y = jax.nn.relu(instance_norm_s2d(y))
-        y_fine = depth_to_space(y)
-        yp = space_to_depth(reflect_pad(y_fine, 3))
+        # Grid re-alignment before the 7x7 tail. Measured at batch 8 full
+        # res on v5e (tools/bench_e4l_back.py): the d2s->pad->s2d
+        # composition costs 8.2 ms; the slice-concat re-expression
+        # (s2d_realign_pad3, JPDSE_FUSED_REALIGN=xla) is WORSE at 15.2 ms
+        # (C-sized channel-block slices break 128-lane alignment), so the
+        # default is the composition unless the Pallas one-pass kernel
+        # (JPDSE_FUSED_REALIGN=pallas, ops/pallas/realign.py) wins its A/B.
+        how = os.environ.get("JPDSE_FUSED_REALIGN", "0")
+        if how == "pallas":
+            from jpdse_tpu.ops.pallas.realign import s2d_realign_pad3_pallas
+
+            yp = s2d_realign_pad3_pallas(y)
+        elif how in ("1", "xla"):
+            yp = s2d_realign_pad3(y)
+        else:
+            yp = space_to_depth(reflect_pad(depth_to_space(y), 3))
         if self.tail_split == "full":
             t = conv_tap_split(yp, w["tail_w"], self.tail_kp, self.tail_kp)
         elif self.tail_split == "w":

@@ -51,6 +51,45 @@ def depth_to_space(y: jax.Array) -> jax.Array:
     return y.reshape(b, h2 * 2, w2 * 2, c)
 
 
+def s2d_realign_pad3(y: jax.Array) -> jax.Array:
+    """One-pass equivalent of ``space_to_depth(reflect_pad(depth_to_space(y), 3))``.
+
+    The back stages of every fast trunk re-align the s2d grid before the
+    7x7 tail conv: depth_to_space -> ReflectionPad2d(3) -> space_to_depth.
+    Composed naively that is two full-tensor HBM round trips (measured
+    7.98 ms of the 27.4 ms netE4label back stage at batch 8 full-res on
+    v5e — `tools/bench_e4l_back.py`). Because the pad is odd, every output
+    tap (pu, pv) is a fixed SHIFTED SLICE of one input tap (su, sv) =
+    (1-pu, 1-pv): fine row m = 2J-3+pu has parity su = 1-pu and lands in
+    input s2d row (m-su)//2, so the whole re-alignment is a channel-block
+    permutation of shifted slices plus 1-2 reflected boundary rows per
+    side — one fused copy pass for XLA instead of two.
+
+    Bit-exact: elements are only moved, never computed.
+    """
+    b, hs, ws, c4 = y.shape
+    c = c4 // 4
+    blk = y.reshape(b, hs, ws, 4, c)
+    outs = []
+    for pu in range(2):
+        for pv in range(2):
+            t = blk[:, :, :, (1 - pu) * 2 + (1 - pv), :]
+            # rows: pu=0 -> src tap su=1, rows [1, 0] + [0..hs) + [hs-2]
+            #       pu=1 -> src tap su=0, rows [1] + [0..hs) + [hs-1, hs-2]
+            if pu == 0:
+                head, tail = t[:, 1::-1], t[:, hs - 2 : hs - 1]
+            else:
+                head, tail = t[:, 1:2], t[:, hs - 1 : hs - 3 : -1]
+            t = jnp.concatenate([head, t, tail], axis=1)
+            if pv == 0:
+                headw, tailw = t[:, :, 1::-1], t[:, :, ws - 2 : ws - 1]
+            else:
+                headw, tailw = t[:, :, 1:2], t[:, :, ws - 1 : ws - 3 : -1]
+            t = jnp.concatenate([headw, t, tailw], axis=2)
+            outs.append(t)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def conv_s1_weights_to_s2d(w: np.ndarray) -> np.ndarray:
     """(k, k, Cin, Cout) stride-1 odd-k conv -> s2d-domain weights
     (k', k', 4Cin, 4Cout) with k' = k//2 + 1.

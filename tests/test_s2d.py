@@ -185,3 +185,17 @@ def test_instance_norm_s2d_large_mean_conditioning(monkeypatch):
     got = instance_norm_s2d(space_to_depth(jnp.asarray(fine)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("hw", [(8, 12), (16, 10), (64, 128)])
+def test_s2d_realign_pad3_bit_exact(rng, hw):
+    """The one-pass grid re-alignment (channel-permuted shifted slices)
+    equals d2s -> ReflectionPad2d(3) -> s2d element-for-element."""
+    from jpdse_tpu.ops.s2d import s2d_realign_pad3
+
+    h, w = hw
+    y = jnp.asarray(rng.normal(size=(2, h // 2, w // 2, 4 * 5)).astype(np.float32))
+    ref = space_to_depth(reflect_pad(depth_to_space(y), 3))
+    np.testing.assert_array_equal(
+        np.asarray(s2d_realign_pad3(y)), np.asarray(ref)
+    )
