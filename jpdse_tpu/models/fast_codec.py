@@ -154,8 +154,10 @@ class _FastTrunk:
         self.tail_split = "none"
         # JPDSE_TAIL_WGROUP: width taps kept inside the kernel per split
         # group (1 = per-tap split, N = kw*Cout; 2 = pairs, N = kw/2*Cout
-        # with half the intermediate-z HBM traffic)
-        self.tail_wgroup = int(os.environ.get("JPDSE_TAIL_WGROUP", "1"))
+        # with half the intermediate-z HBM traffic). Default 2: measured
+        # 11.75 vs 12.50 ms for the netE4label tail at batch 8 full res
+        # (75% lane fill but half the z traffic beats 90% fill).
+        self.tail_wgroup = int(os.environ.get("JPDSE_TAIL_WGROUP", "2"))
         if os.environ.get("JPDSE_TAIL_SPLIT", "1") == "1":
             if ntaps * cout4 <= 256:
                 self.tail_split = "full"  # e.g. RGB tails: N 12 -> 192
@@ -230,12 +232,19 @@ class _FastTrunk:
         y = jax.nn.relu(instance_norm_s2d(y))
         # Grid re-alignment before the 7x7 tail. Measured at batch 8 full
         # res on v5e (tools/bench_e4l_back.py): the d2s->pad->s2d
-        # composition costs 8.2 ms; the slice-concat re-expression
-        # (s2d_realign_pad3, JPDSE_FUSED_REALIGN=xla) is WORSE at 15.2 ms
-        # (C-sized channel-block slices break 128-lane alignment), so the
-        # default is the composition unless the Pallas one-pass kernel
-        # (JPDSE_FUSED_REALIGN=pallas, ops/pallas/realign.py) wins its A/B.
-        how = os.environ.get("JPDSE_FUSED_REALIGN", "0")
+        # composition costs 8.05 ms (two full-tensor HBM round trips); the
+        # XLA slice-concat re-expression (s2d_realign_pad3,
+        # JPDSE_FUSED_REALIGN=xla) is WORSE at 15.2 ms (C-sized
+        # channel-block slices break 128-lane alignment); the Pallas
+        # one-pass kernel (ops/pallas/realign.py) does it in 5.03 ms and
+        # the netE4label back stage drops 27.4 -> 17.5 ms — so Pallas is
+        # the TPU default (bit-exact; JPDSE_FUSED_REALIGN=0 restores the
+        # composition, =xla the slice-concat form).
+        how = os.environ.get("JPDSE_FUSED_REALIGN", "auto")
+        if how == "auto":
+            from jpdse_tpu.ops.pallas.realign import pallas_realign_supported
+
+            how = "pallas" if pallas_realign_supported() else "0"
         if how == "pallas":
             from jpdse_tpu.ops.pallas.realign import s2d_realign_pad3_pallas
 

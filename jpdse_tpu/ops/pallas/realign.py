@@ -25,6 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def pallas_realign_supported() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _kernel(ya_ref, yb_ref, o_ref):
     # ya: source row for the pu=0 output taps (input taps su=1)
     # yb: source row for the pu=1 output taps (input taps su=0)
