@@ -10,8 +10,11 @@ are verified bit-near-exact in tests/test_fast_codec.py). Mid-trunk layers
 (>=128 channels at <=1/4 resolution) already saturate the MXU and run
 unchanged.
 
-Supports the GlobalGenerator / Encoder family (netG 'global', no grouped
-convs, no instance-wise pooling). Anything else falls back to the standard
+Supports the GlobalGenerator / Encoder family (netG 'global') and the
+LocalEnhancer pyramid (netG 'local' — each enhancer's full-resolution
+downsample/upsample stacks reuse the same s2d transforms, where they matter
+most: those stacks run at 2x the global trunk's resolution). No grouped
+convs, no instance-wise pooling; anything else falls back to the standard
 module.
 
 NOTE: pass **host** (numpy / CPU-backend) params. The constructor reads every
@@ -31,7 +34,7 @@ import numpy as np
 
 from jpdse_tpu.config import Config
 from jpdse_tpu.models.codec import prepare_inputs
-from jpdse_tpu.models.layers import instance_norm, reflect_pad
+from jpdse_tpu.models.layers import avg_pool_3s2, instance_norm, reflect_pad
 from jpdse_tpu.ops.s2d import (
     conv_s1_weights_to_s2d,
     conv_s2_weights_from_s2d_nopad,
@@ -66,12 +69,21 @@ class _FastTrunk:
 
     def __init__(self, params: Dict, n_down: int, n_blocks: int, binarize: str, dtype):
         """binarize: 'none' | 'mid' (encoder: between down and up) |
-        'before_res' | 'after_res' (generator bottleneck)."""
+        'before_res' | 'after_res' (generator bottleneck).
+
+        Sections are presence-driven so LocalEnhancer sub-stacks reuse the
+        same transforms (models/fast_codec._FastLocalG): no ``head`` key ->
+        no front (the trunk starts from a given feature map); no ``tail``
+        key -> no s2d back stage, and every ``up{i}`` runs as a plain
+        deconv (the LocalEnhancer global trunk drops its last 3 layers,
+        networks.py:152-153)."""
         self.n_down = n_down
         self.n_blocks = n_blocks
         self.binarize = binarize
         self.dtype = dtype
         p = params
+        self.has_front = "head" in p
+        self.has_back = "tail" in p
 
         def conv_wb(node):
             return _np(node["conv"]["kernel"]), _np(node["conv"]["bias"])
@@ -80,30 +92,33 @@ class _FastTrunk:
         # (closure-captured arrays get baked into the serialized compile
         # payload, which the remote-compile relay rejects for ~180MB graphs)
         w: Dict[str, Any] = {}
-        w7, b7 = conv_wb(p["head"]["conv"])
-        wp_head = conv_s1_weights_to_s2d(w7)
-        self.head_kp = wp_head.shape[0]
-        c4 = wp_head.shape[2]  # s2d input channels (4x fine)
-        # Tap-fold mode for the head conv (see ops/s2d.py fold_w_taps).
-        # MEASURED REGRESSION (v5e, batch 8, 1024x512): netG front 27.0 ms
-        # folded vs 20.7 unfolded; netE hw-fold 26.8 vs 14.1 std — XLA's conv
-        # lowering already handles the per-tap K padding better than the
-        # fold's extra relayout costs. Default OFF; JPDSE_HEAD_FOLD=1 enables
-        # (w-fold for c4 >= 128, full hw-fold below).
-        if os.environ.get("JPDSE_HEAD_FOLD", "0") == "0":
-            self.head_fold = "none"
-            w["head_w"] = jnp.asarray(wp_head, dtype)
-        elif c4 >= 128:
-            self.head_fold = "w"
-            w["head_w"] = jnp.asarray(weights_fold_w(wp_head), dtype)
-        else:
-            self.head_fold = "hw"
-            w["head_w"] = jnp.asarray(weights_fold_hw(wp_head), dtype)
-        w["head_b"] = jnp.asarray(_tile4(b7), dtype)
+        if self.has_front:
+            w7, b7 = conv_wb(p["head"]["conv"])
+            wp_head = conv_s1_weights_to_s2d(w7)
+            self.head_kp = wp_head.shape[0]
+            c4 = wp_head.shape[2]  # s2d input channels (4x fine)
+            # Tap-fold mode for the head conv (see ops/s2d.py fold_w_taps).
+            # MEASURED REGRESSION (v5e, batch 8, 1024x512): netG front 27.0 ms
+            # folded vs 20.7 unfolded; netE hw-fold 26.8 vs 14.1 std — XLA's conv
+            # lowering already handles the per-tap K padding better than the
+            # fold's extra relayout costs. Default OFF; JPDSE_HEAD_FOLD=1 enables
+            # (w-fold for c4 >= 128, full hw-fold below).
+            if os.environ.get("JPDSE_HEAD_FOLD", "0") == "0":
+                self.head_fold = "none"
+                w["head_w"] = jnp.asarray(wp_head, dtype)
+            elif c4 >= 128:
+                self.head_fold = "w"
+                w["head_w"] = jnp.asarray(weights_fold_w(wp_head), dtype)
+            else:
+                self.head_fold = "hw"
+                w["head_w"] = jnp.asarray(weights_fold_hw(wp_head), dtype)
+            w["head_b"] = jnp.asarray(_tile4(b7), dtype)
 
-        w_d0, b_d0 = conv_wb(p["down0"]["conv"])
-        w["down0_w"] = jnp.asarray(conv_s2_weights_from_s2d_nopad(w_d0), dtype)
-        w["down0_b"] = jnp.asarray(b_d0, dtype)
+            w_d0, b_d0 = conv_wb(p["down0"]["conv"])
+            w["down0_w"] = jnp.asarray(conv_s2_weights_from_s2d_nopad(w_d0), dtype)
+            w["down0_b"] = jnp.asarray(b_d0, dtype)
+        else:
+            self.head_fold = "none"
 
         for i in range(1, n_down):
             wi, bi = conv_wb(p[f"down{i}"]["conv"])
@@ -124,10 +139,20 @@ class _FastTrunk:
             w[f"res{i}_b2"] = jnp.asarray(b2, dtype)
             self.n_res += 1
 
-        for i in range(n_down - 1):
+        self.n_mid_up = n_down - 1 if self.has_back else n_down
+        for i in range(self.n_mid_up):
+            if f"up{i}" not in p:  # front-only sub-stack (LocalDownsample)
+                self.n_mid_up = i
+                break
             w[f"up{i}_w"] = jnp.asarray(_np(p[f"up{i}"]["deconv"]["kernel"]), dtype)
             w[f"up{i}_b"] = jnp.asarray(_np(p[f"up{i}"]["deconv"]["bias"]), dtype)
-        self.n_mid_up = n_down - 1
+
+        if not self.has_back:
+            if binarize != "none":
+                w["bin_w"] = jnp.asarray(
+                    _np(p["binarizer"]["conv"]["kernel"]), dtype)
+            self.weights = w
+            return
 
         # last upsample: transformed to produce s2d output
         wl = _np(p[f"up{n_down - 1}"]["deconv"]["kernel"])
@@ -264,13 +289,15 @@ class _FastTrunk:
 
     # -- full passes ----------------------------------------------------
     def __call__(self, w: Dict, x: jax.Array) -> jax.Array:
-        h = self.mid_down(w, self.front(w, x))
+        h = self.front(w, x) if self.has_front else x.astype(self.dtype)
+        h = self.mid_down(w, h)
         if self.binarize in ("before_res", "mid"):
             h = self.apply_binarizer(w, h)
         h = self.res_blocks(w, h)
         if self.binarize == "after_res":
             h = self.apply_binarizer(w, h)
-        return self.back(w, self.mid_up(w, h))
+        h = self.mid_up(w, h)
+        return self.back(w, h) if self.has_back else h
 
     def decode_from_code(self, w: Dict, code_pm1: jax.Array) -> jax.Array:
         """Resume the trunk after the binarizer ({-1,+1} input) — the
@@ -292,6 +319,58 @@ class _FastTrunk:
         return self.apply_binarizer(w, h)
 
 
+class _FastLocalG:
+    """s2d-optimized LocalEnhancer generator (generator.py:181-262;
+    reference networks.py:144-196).
+
+    The coarse global trunk (minus its tail, networks.py:152-153) is a
+    presence-driven _FastTrunk; each enhancer's full-resolution
+    7x7+stride-2 downsample stack has exactly the head/front geometry and
+    its res-blocks + ConvTranspose + 7x7-tail upsample stack exactly the
+    back geometry, so both reuse the _FastTrunk s2d transforms — including
+    the tail tap-split and the Pallas grid re-alignment, which matter MOST
+    here (the enhancer's head/tail run at 2x the global config's
+    resolution)."""
+
+    def __init__(self, params: Dict, m, dtype):
+        self.dtype = dtype
+        self.n_local = m.n_local_enhancers
+        self.glob = _FastTrunk(
+            params["global"], m.n_downsample_global, m.n_blocks_global,
+            "none", dtype,
+        )
+        self.downs: List[_FastTrunk] = []
+        self.ups: List[_FastTrunk] = []
+        w: Dict[str, Any] = {"global": self.glob.weights}
+        for n in range(1, self.n_local + 1):
+            pd = params[f"local{n}_down"]
+            down = _FastTrunk({"head": pd["c7"], "down0": pd["d1"]},
+                              1, 0, "none", dtype)
+            pu = params[f"local{n}_up"]
+            up_p = {k: v for k, v in pu.items() if k.startswith("res")}
+            up_p["up0"] = pu["up"]
+            if "tail" in pu:  # only the final enhancer has one
+                up_p["tail"] = pu["tail"]
+            up = _FastTrunk(up_p, 1, m.n_blocks_local, "none", dtype)
+            self.downs.append(down)
+            self.ups.append(up)
+            w[f"down{n}"] = down.weights
+            w[f"up{n}"] = up.weights
+        self.weights = w
+
+    def __call__(self, w: Dict, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        pyramid = [x]
+        for _ in range(self.n_local):
+            pyramid.append(avg_pool_3s2(pyramid[-1]))
+        h = self.glob(w["global"], pyramid[-1])
+        for n in range(self.n_local):
+            inp = pyramid[self.n_local - 1 - n]
+            d = self.downs[n].front(w[f"down{n + 1}"], inp)
+            h = self.ups[n](w[f"up{n + 1}"], d + h)
+        return h
+
+
 class FastCodec:
     """Optimized deterministic inference over trained SemanticCodec params.
 
@@ -308,12 +387,12 @@ class FastCodec:
         # generator are never binarized together (Config.validate)
         cfg.validate()
         if (
-            m.netG != "global" or m.netE_groups != 1 or m.inst_wise_pool
-            or m.sem_masking or m.norm != "instance"
+            m.netG not in ("global", "local") or m.netE_groups != 1
+            or m.inst_wise_pool or m.sem_masking or m.norm != "instance"
         ):
             raise ValueError(
-                "FastCodec supports the global/ungrouped/instance-norm "
-                "configuration (the flagship); other configs use SemanticCodec"
+                "FastCodec supports the global/local ungrouped instance-norm "
+                "configurations; other configs use SemanticCodec"
             )
         self.cfg = cfg
         dtype = dtype or (
@@ -322,9 +401,15 @@ class FastCodec:
         g_bin = "none"
         if not m.no_generator_binarization:
             g_bin = "before_res" if m.bin_generator_before_res else "after_res"
-        self.netG = _FastTrunk(
-            params_g["netG"], m.n_downsample_global, m.n_blocks_global, g_bin, dtype
-        )
+        if m.netG == "local":
+            # local enhancers never binarize (codec.py raises), so the
+            # encode/decode_from_code trunk surface is not needed here
+            self.netG = _FastLocalG(params_g["netG"], m, dtype)
+        else:
+            self.netG = _FastTrunk(
+                params_g["netG"], m.n_downsample_global, m.n_blocks_global,
+                g_bin, dtype,
+            )
         self.netE = None
         if cfg.use_netE:
             self.netE = _FastTrunk(

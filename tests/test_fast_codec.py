@@ -53,6 +53,45 @@ def test_fast_decode_generator_binarized(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_fast_decode_local_enhancer(rng):
+    """netG 'local' (LocalEnhancer pyramid, networks.py:144-196) through the
+    s2d fast path, with binarized label + visual encoders feeding it."""
+    cfg = tiny_cfg(
+        netG="local",
+        n_local_enhancers=1,
+        n_blocks_local=1,
+        no_generator_binarization=True,
+    )
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    want, _ = codec.apply({"params": params}, inputs, method=SemanticCodec.decode)
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    got = fast.decode(batch)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fast_decode_local_two_enhancers(rng):
+    """n_local_enhancers=2: the inner enhancer's up-trunk has NO tail (plain
+    deconv, has_back=False) — a distinct _FastTrunk section layout from the
+    final enhancer's s2d back stage."""
+    cfg = tiny_cfg(
+        netG="local",
+        n_local_enhancers=2,
+        n_blocks_local=1,
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    want, _ = codec.apply({"params": params}, inputs, method=SemanticCodec.decode)
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    got = fast.decode(batch)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_fast_decode_flagship_bpg_style(rng):
     """Raw semantics + compressed visuals straight into G (no encoders)."""
     cfg = tiny_cfg(
