@@ -354,8 +354,8 @@ class Trainer:
                 "through the framework loader (data/paired.py)"
             )
         h, w = batch["image"].shape[1:3]
-        out = []
-        for j in range(batch["image"].shape[0]):
+
+        def pack_one(j: int) -> bytes:
             side = codec_io.SideInfo()
             if need_label:
                 side.label = np.asarray(batch["label"][j]).astype(np.uint8)
@@ -364,13 +364,23 @@ class Trainer:
             if need_base:
                 side.base_ext = batch["base_codec_ext"][j]
                 side.base_payloads = list(batch["base_codec_streams"][j])
-            out.append(
-                codec_io.pack(
-                    [c[j] for c in shaped], (h, w),
-                    side if not side.empty() else None,
-                )
+            return codec_io.pack(
+                [c[j] for c in shaped], (h, w),
+                side if not side.empty() else None,
             )
-        return out
+
+        b = batch["image"].shape[0]
+        if b == 1:
+            return [pack_one(0)]
+        # the packing hot spots — the C range coder (ctypes) and PNG encode
+        # (PIL) — both release the GIL, so images pack concurrently across
+        # host cores (the serial coder is ~50 Mbit/s/core: ~11 ms per
+        # flagship 256-Kbit code, which would otherwise stack per image
+        # behind one batched device call)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as ex:
+            return list(ex.map(pack_one, range(b)))
 
     def _side_batch_from(self, bs) -> Optional[Dict]:
         """Reconstruct a loader-shaped batch dict from .jpds side info."""
