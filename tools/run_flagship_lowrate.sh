@@ -5,23 +5,27 @@
 # (raw 0.25 bpp vs 1.0 before entropy coding). Turns the round-3 trained
 # table from one rate point into an R-D curve.
 #
-# Warm start: the trained 128-bit phase-3 checkpoint
-# (artifacts/flagship_r3/phase3). The partial-restore path
-# (train/checkpoint.py merge_trees) keeps every weight whose path+shape
-# still matches and re-inits only the bottleneck-adjacent convs the width
-# change touches — the same cross-architecture restore the reference's
-# base_model.py:62-97 does across phase changes.
-#
-# Phase A: full GAN+VGG+featmatch+distortion objective at the new width
-# Phase B: distortion-only fine-tune, plateau-LR (the PSNR phase)
+# Two modes:
+#  - Warm start (when ${WARM}/params exists): restore the trained 128-bit
+#    phase-3 checkpoint through the partial-restore path
+#    (train/checkpoint.py merge_trees) — every weight whose path+shape
+#    still matches is kept, only the bottleneck-adjacent convs the width
+#    change touches re-init (the same cross-architecture restore the
+#    reference's base_model.py:62-97 does across phase changes). Then
+#    phase A (full objective) + phase B (distortion-only).
+#  - From scratch (no warm checkpoint, e.g. a fresh machine): the full
+#    reference 3-phase recipe (pix2pixHD_bpg_train.sh structure) at the
+#    32+32-bit widths: semantics-only, + binarized visuals full objective,
+#    distortion-only fine-tune.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 ROOT=${ROOT:-datasets/cityscapes_split}
 OUT=${OUT:-artifacts/flagship_r3_lowrate}
 WARM=${WARM:-artifacts/flagship_r3/phase3}
-PA=${PA:-500}
-PB=${PB:-500}
+P1=${P1:-150}
+PA=${PA:-600}
+PB=${PB:-600}
 VAL_INT=${VAL_INT:-25}
 
 BITS="--encoder_binarizer_out_channels 32 --label_encoder_binarizer_out_channels 32"
@@ -32,8 +36,9 @@ COMMON="--dataset cityscapes --root_dir ${ROOT} --model pix2pixHD \
   --val_preprocess_mode fixed --val_load_size 1024 --val_crop_size 1024 \
   --test_preprocess_mode fixed --test_load_size 1024 --test_crop_size 1024 \
   --batch_size 2 --num_workers 2 --seed 1234 --cache_images --remat \
-  --val_interval ${VAL_INT} --max_recon_dump 2 \
-  --normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
+  --val_interval ${VAL_INT} --max_recon_dump 2"
+
+STD2="--normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
 
 run_phase () {
   local name=$1 prev=$2 epochs=$3; shift 3
@@ -51,11 +56,20 @@ run_phase () {
     --save_dir "${dir}" --num_epochs "${epochs}"
 }
 
-echo "=== phase A: full objective at 32+32 bits, warm-started (${PA} epochs) ==="
-run_phase phaseA "${WARM}" "${PA}"
+if [ -d "${WARM}/params" ]; then
+  echo "=== warm start from ${WARM}: phase A full objective (${PA} epochs) ==="
+  PHASEA_PREV=${WARM}
+else
+  echo "=== no warm checkpoint; from-scratch phase 1: semantics-only (${P1} epochs) ==="
+  run_phase phase1 "" "${P1}" --no_feat --no_distortion_loss
+  PHASEA_PREV=${OUT}/phase1
+fi
+
+echo "=== phase A: full objective at 32+32 bits (${PA} epochs) ==="
+run_phase phaseA "${PHASEA_PREV}" "${PA}" ${STD2}
 
 echo "=== phase B: distortion-only fine-tune (${PB} epochs) ==="
-run_phase phaseB "${OUT}/phaseA" "${PB}" \
+run_phase phaseB "${OUT}/phaseA" "${PB}" ${STD2} \
   --no_g_gan_loss --no_d_gan_loss --no_vgg_loss --no_gan_feat_loss \
   --schedule_lr --lr_decay_patience 3
 
