@@ -54,10 +54,10 @@ def evaluate(
     try:
         from jpdse_tpu.codec_io import side_requirements
 
-        need_label_side, need_inst_side, _ = side_requirements(cfg)
+        need_label_side, need_inst_side, need_base_side = side_requirements(cfg)
     except ValueError:
         # raw uncompressed visuals: not deployable, no side accounting
-        need_label_side = need_inst_side = False
+        need_label_side = need_inst_side = need_base_side = False
     totals: Dict[str, float] = {
         "L1": 0.0, "MSE": 0.0, "PSNR": 0.0, "MS-SSIM": 0.0,
         "shannon_bpp": 0.0, "actual_bpp": 0.0,
@@ -184,12 +184,15 @@ def evaluate(
         avgs["coded_bpp"] = None
     # total_bpp: every byte a receiver needs — entropy-coded learned codes
     # (coded_bpp; actual_bpp upper bound if the coder is unavailable) plus
-    # the base codec's bitstream when one is in the loop
+    # the base codec's bitstream ONLY when the receiver needs it
+    # (side_requirements need_base). With a binarized netE the base codec is
+    # an encoder-side transform: its bytes never reach the .jpds stream, so
+    # base_codec_bpp stays a reported diagnostic but is excluded from total.
     learned = avgs.get("coded_bpp")
     if learned is None:
         learned = avgs.get("actual_bpp", 0.0) if get_codes else 0.0
-    avgs["total_bpp"] = (
-        learned + avgs.get("base_codec_bpp", 0.0) + avgs.get("sem_side_bpp", 0.0)
-    )
+    avgs["total_bpp"] = learned + avgs.get("sem_side_bpp", 0.0)
+    if need_base_side:
+        avgs["total_bpp"] += avgs.get("base_codec_bpp", 0.0)
     avgs["n_images"] = n_images
     return avgs

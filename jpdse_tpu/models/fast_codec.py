@@ -67,9 +67,16 @@ def _tile4(bias: np.ndarray) -> np.ndarray:
 class _FastTrunk:
     """Transformed weights + forward for one GlobalGenerator/Encoder trunk."""
 
-    def __init__(self, params: Dict, n_down: int, n_blocks: int, binarize: str, dtype):
+    def __init__(self, params: Dict, n_down: int, n_blocks: int, binarize: str,
+                 dtype, sharded: bool = False):
         """binarize: 'none' | 'mid' (encoder: between down and up) |
         'before_res' | 'after_res' (generator bottleneck).
+
+        ``sharded``: the trunk will run on mesh-sharded inputs. pallas_call
+        has no GSPMD partitioning rule, so the 'auto' grid re-alignment
+        choice in :meth:`back` must avoid the Pallas kernel and use the jnp
+        composition (whose d2s/pad/s2d ops GSPMD partitions with automatic
+        halo exchanges).
 
         Sections are presence-driven so LocalEnhancer sub-stacks reuse the
         same transforms (models/fast_codec._FastLocalG): no ``head`` key ->
@@ -81,6 +88,7 @@ class _FastTrunk:
         self.n_blocks = n_blocks
         self.binarize = binarize
         self.dtype = dtype
+        self.sharded = sharded
         p = params
         self.has_front = "head" in p
         self.has_back = "tail" in p
@@ -267,9 +275,16 @@ class _FastTrunk:
         # composition, =xla the slice-concat form).
         how = os.environ.get("JPDSE_FUSED_REALIGN", "auto")
         if how == "auto":
-            from jpdse_tpu.ops.pallas.realign import pallas_realign_supported
+            if self.sharded:
+                # pallas_call has no GSPMD partitioning rule — under a mesh
+                # the jnp composition lets XLA shard d2s/pad/s2d with
+                # automatic halo exchanges instead of gathering the full
+                # tensor per chip (forcing =pallas under a mesh is unsupported)
+                how = "0"
+            else:
+                from jpdse_tpu.ops.pallas.realign import pallas_realign_supported
 
-            how = "pallas" if pallas_realign_supported() else "0"
+                how = "pallas" if pallas_realign_supported() else "0"
         if how == "pallas":
             from jpdse_tpu.ops.pallas.realign import s2d_realign_pad3_pallas
 
@@ -332,12 +347,12 @@ class _FastLocalG:
     here (the enhancer's head/tail run at 2x the global config's
     resolution)."""
 
-    def __init__(self, params: Dict, m, dtype):
+    def __init__(self, params: Dict, m, dtype, sharded: bool = False):
         self.dtype = dtype
         self.n_local = m.n_local_enhancers
         self.glob = _FastTrunk(
             params["global"], m.n_downsample_global, m.n_blocks_global,
-            "none", dtype,
+            "none", dtype, sharded=sharded,
         )
         self.downs: List[_FastTrunk] = []
         self.ups: List[_FastTrunk] = []
@@ -345,13 +360,14 @@ class _FastLocalG:
         for n in range(1, self.n_local + 1):
             pd = params[f"local{n}_down"]
             down = _FastTrunk({"head": pd["c7"], "down0": pd["d1"]},
-                              1, 0, "none", dtype)
+                              1, 0, "none", dtype, sharded=sharded)
             pu = params[f"local{n}_up"]
             up_p = {k: v for k, v in pu.items() if k.startswith("res")}
             up_p["up0"] = pu["up"]
             if "tail" in pu:  # only the final enhancer has one
                 up_p["tail"] = pu["tail"]
-            up = _FastTrunk(up_p, 1, m.n_blocks_local, "none", dtype)
+            up = _FastTrunk(up_p, 1, m.n_blocks_local, "none", dtype,
+                            sharded=sharded)
             self.downs.append(down)
             self.ups.append(up)
             w[f"down{n}"] = down.weights
@@ -380,7 +396,8 @@ class FastCodec:
     ``decode(batch)`` is the convenience form (jits internally).
     """
 
-    def __init__(self, cfg: Config, params_g: Dict, dtype=None):
+    def __init__(self, cfg: Config, params_g: Dict, dtype=None,
+                 sharded: bool = False):
         m = cfg.model
         # decode_from_codes_fn indexes codes[0] as the netE4label code, which
         # is only safe under the validated invariant that encoders and
@@ -404,23 +421,25 @@ class FastCodec:
         if m.netG == "local":
             # local enhancers never binarize (codec.py raises), so the
             # encode/decode_from_code trunk surface is not needed here
-            self.netG = _FastLocalG(params_g["netG"], m, dtype)
+            self.netG = _FastLocalG(params_g["netG"], m, dtype, sharded=sharded)
         else:
             self.netG = _FastTrunk(
                 params_g["netG"], m.n_downsample_global, m.n_blocks_global,
-                g_bin, dtype,
+                g_bin, dtype, sharded=sharded,
             )
         self.netE = None
         if cfg.use_netE:
             self.netE = _FastTrunk(
                 params_g["netE"], m.n_downsample_E, 0,
                 "mid" if not m.no_encoder_binarization else "none", dtype,
+                sharded=sharded,
             )
         self.netE4label = None
         if cfg.use_netE4label:
             self.netE4label = _FastTrunk(
                 params_g["netE4label"], m.n_downsample_E4label, 0,
                 "mid" if not m.no_label_encoder_binarization else "none", dtype,
+                sharded=sharded,
             )
         self.weights = {"netG": self.netG.weights}
         if self.netE is not None:
@@ -524,14 +543,17 @@ class FastCodec:
             )
         side_inputs = None
         if side_batch is not None:
-            if side_batch.get("label") is None and side_batch.get("instance") is None:
+            if side_batch.get("label") is None:
                 # semantics ride in the codes; only visuals come from side
+                # (instance ids without a label can't reach FastCodec — that
+                # needs inst_wise_pool, rejected in __init__ — but keep the
+                # condition in lockstep with train/step.py side_inputs_from)
                 dt = self.netG.dtype
                 comp = side_batch.get("compressed")
                 side_inputs = {
                     "input_label": None,
                     "real_image": side_batch["image"].astype(dt),
-                    "instance_ids": None,
+                    "instance_ids": side_batch.get("instance"),
                     "masked_img": None,
                     "compressed_img": comp.astype(dt) if comp is not None else None,
                 }

@@ -108,14 +108,24 @@ def make_global_batch(batch: Dict, mesh: Mesh, shard_spatial: bool = True) -> Di
 
 
 def make_global_batch_flexible(
-    batch: Dict, mesh: Mesh, shard_spatial: bool = True
+    batch: Dict, mesh: Mesh, shard_spatial: bool = True,
+    local_is_shard: bool = True,
 ) -> Dict:
     """Like make_global_batch, but degrades per array exactly like
     mesh.shard_batch_flexible: batch dim shards over (dcn x data) only when
     the per-host batch divides the local data axis (else the array is
-    REPLICATED — correct only when every host passes the same values, which
-    holds for the unsharded eval loaders); H shards over 'spatial' when
-    divisible."""
+    REPLICATED); H shards over 'spatial' when divisible.
+
+    ``local_is_shard`` states what the per-host batch IS. True (training):
+    each host feeds a disjoint rank shard (data/__init__.py rank-strides the
+    train sampler) and the global batch is their concatenation over 'dcn'.
+    False (eval/serving): every host holds the SAME batch — the unsharded
+    eval loaders — so the arrays are fully REPLICATED. Sharding identical
+    copies over dcn would both duplicate the global batch and make the
+    jitted outputs span non-addressable devices (np.asarray on a multi-host
+    sharded array raises); full replication keeps every output locally
+    fetchable, matching the "every host sees the same metric stream"
+    contract."""
     n_data = mesh.shape[DATA_AXIS]
     n_spatial = mesh.shape[SPATIAL_AXIS]
     out = {}
@@ -125,15 +135,16 @@ def make_global_batch_flexible(
             continue
         arr = np.asarray(v)
         spec = [None] * arr.ndim
-        if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
-            spec[0] = (DCN_AXIS, DATA_AXIS)
-        if (
-            shard_spatial
-            and arr.ndim >= 3
-            and n_spatial > 1
-            and arr.shape[1] % n_spatial == 0
-        ):
-            spec[1] = SPATIAL_AXIS
+        if local_is_shard:
+            if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
+                spec[0] = (DCN_AXIS, DATA_AXIS)
+            if (
+                shard_spatial
+                and arr.ndim >= 3
+                and n_spatial > 1
+                and arr.shape[1] % n_spatial == 0
+            ):
+                spec[1] = SPATIAL_AXIS
         sharding = NamedSharding(mesh, P(*spec))
         out[k] = jax.make_array_from_process_local_data(sharding, arr)
     return out

@@ -357,12 +357,16 @@ def make_decode_from_codes_fn(cfg: Config, codec: SemanticCodec):
     def side_inputs_from(side_batch):
         if side_batch is None:
             return None
-        if side_batch.get("label") is None and side_batch.get("instance") is None:
-            # semantics ride in the codes; only visuals come from side info
+        if side_batch.get("label") is None:
+            # semantics ride in the codes; visuals — and, for an unbinarized
+            # encoder with inst_wise_pool, the instance ids its pooling needs
+            # (codec_io.side_requirements need_inst without need_label) —
+            # come from side info. prepare_inputs would one-hot the missing
+            # label here, so assemble the dict directly.
             return {
                 "input_label": None,
                 "real_image": side_batch["image"],
-                "instance_ids": None,
+                "instance_ids": side_batch.get("instance"),
                 "masked_img": None,
                 "compressed_img": side_batch.get("compressed"),
             }

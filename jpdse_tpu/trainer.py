@@ -198,7 +198,9 @@ class Trainer:
             from jpdse_tpu.models.fast_codec import FastCodec
 
             host_params = jax.tree.map(np.asarray, self.state.params_g)
-            self._fast_codec = FastCodec(self.cfg, host_params)
+            self._fast_codec = FastCodec(
+                self.cfg, host_params, sharded=self.mesh is not None
+            )
             if self.mesh is not None:
                 from jpdse_tpu.parallel.mesh import replicated
 
@@ -225,16 +227,22 @@ class Trainer:
 
         return jax.device_put(state, replicated(self.mesh))
 
-    def _place(self, batch: Dict) -> Dict:
+    def _place(self, batch: Dict, local_is_shard: bool = False) -> Dict:
         """Strip host fields and place onto the device(s). Idempotent:
         already-placed arrays are passed through (device_put no-ops on a
         matching placement), so prefetch_to_device pre-placing via this
-        function costs nothing at step time."""
+        function costs nothing at step time. ``local_is_shard`` (multi-host
+        only): True for train batches (each host feeds a disjoint rank
+        shard → concatenated over 'dcn'), False for eval batches (every
+        host holds the same unsharded batch → fully replicated so outputs
+        stay locally fetchable)."""
         b = device_batch(batch)
         if self._multihost:
             from jpdse_tpu.parallel.distributed import make_global_batch_flexible
 
-            return make_global_batch_flexible(b, self.mesh, self._shard_spatial)
+            return make_global_batch_flexible(
+                b, self.mesh, self._shard_spatial, local_is_shard=local_is_shard
+            )
         if self.mesh is not None:
             from jpdse_tpu.parallel.mesh import shard_batch_flexible
 
@@ -273,7 +281,9 @@ class Trainer:
         trip, and the reference-style fetch-every-scalar-every-step loop
         measured 2.4s wall per 0.8s compute step (round-3 fix)."""
         self._rng, sub = jax.random.split(self._rng)
-        self.state, metrics = self._train_step(self.state, self._place(batch), sub)
+        self.state, metrics = self._train_step(
+            self.state, self._place(batch, local_is_shard=True), sub
+        )
         keys = sorted(metrics)
         return keys, jnp.stack([metrics[k] for k in keys])
 
@@ -481,17 +491,11 @@ class Trainer:
         meta = {}
         if self.sched is not None:
             meta["scheduler"] = self.sched.state_dict()
-        state = self.state
-        if self._multihost:
-            # params/opt replicate across hosts: materialize on each host
-            # (fully-replicated global arrays fetch locally). EVERY process
-            # must call save — Orbax's checkpointer runs its own
-            # cross-process barriers inside save(); the primary host does
-            # the writing
-            state = jax.tree.map(
-                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state
-            )
-        save_checkpoint(self.cfg.save_dir, state, epoch, meta)
+        # Under multi-host, EVERY process must call save — Orbax runs its own
+        # cross-process barriers inside save(); the primary host writes.
+        # save_checkpoint's to_host() materializes the replicated global
+        # arrays on each host (fully-replicated arrays fetch locally).
+        save_checkpoint(self.cfg.save_dir, self.state, epoch, meta)
         print(f"\ncheckpoint saved to {self.cfg.save_dir}\n")
 
     def load(self):

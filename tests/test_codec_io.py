@@ -160,6 +160,38 @@ def test_hybrid_learned_semantics_compressed_visuals(rng):
     np.testing.assert_allclose(recon, direct[0], atol=1e-5)
 
 
+def test_instance_pooled_encoder_bitstream(rng):
+    """Learned semantics in the code + an UNBINARIZED netE with
+    inst_wise_pool over base-codec visuals: side_requirements yields
+    need_inst WITHOUT need_label — the instance map rides as side info so
+    the decoder's pooling gets its ids, while the label stays out of the
+    stream (it lives in the netE4label code). Regression: the decode path
+    used to route this through prepare_inputs and crash one-hotting the
+    missing label."""
+    cfg = tiny_cfg(
+        no_generator_binarization=True,
+        no_encoder_binarization=True,
+        inst_wise_pool=True,
+    )
+    cfg.codec.use_compressed = True
+    cfg.codec.ext = "jpg"
+    cfg.codec.quality = (60,)
+    cfg.data.batch_size = 1
+    assert codec_io.side_requirements(cfg) == (False, True, True)
+    batch = _compressed_batch(
+        cfg, {k: np.asarray(v) for k, v in tiny_batch(rng, b=1).items()}
+    )
+    tr = Trainer(cfg, "test", sample_batch=batch)
+    streams = tr.compress(batch)
+    bs = codec_io.unpack_full(streams[0])
+    assert len(bs.codes) == 1  # the netE4label code
+    assert bs.side.label is None and bs.side.instance is not None
+    assert len(bs.side.base_payloads) == 1
+    direct = tr.get_img(batch)
+    recon = tr.decompress(streams[0])
+    np.testing.assert_allclose(recon, direct[0], atol=1e-5)
+
+
 def test_raw_uncompressed_visuals_not_packable(rng):
     cfg = tiny_cfg(
         no_label_encoding=True,

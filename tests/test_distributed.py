@@ -16,7 +16,10 @@ WORKER = textwrap.dedent(
     """
     import os, sys
     sys.path.insert(0, {repo!r})
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
+        "--xla_cpu_collective_timeout_seconds=600")
     os.environ["JAX_PLATFORMS"] = "cpu"
     from jpdse_tpu.platform import honor_jax_platforms_env
     honor_jax_platforms_env()  # the axon sitecustomize overrides JAX_PLATFORMS
@@ -45,6 +48,21 @@ WORKER = textwrap.dedent(
     total = float(global_sum(gbatch["x"]))
     # rows: 2x(1.0) + 2x(2.0), 8 cols -> 48
     assert abs(total - 48.0) < 1e-5, total
+
+    # flexible placement: train batches (local_is_shard=True) concatenate
+    # over hosts; eval batches (False) are identical per host and must be
+    # fully REPLICATED — not duplicated over dcn — so jitted outputs stay
+    # locally fetchable (np.asarray) on every host
+    ev = np.arange(16, dtype=np.float32).reshape(2, 8)  # 2 divides n_data=2
+    gt = D.make_global_batch_flexible(
+        {{"x": ev}}, mesh, shard_spatial=False, local_is_shard=True)
+    assert gt["x"].shape == (4, 8), gt["x"].shape  # concat over dcn x data
+    ge = D.make_global_batch_flexible(
+        {{"x": ev}}, mesh, shard_spatial=False, local_is_shard=False)
+    assert ge["x"].shape == (2, 8), ge["x"].shape  # one copy, replicated
+    assert ge["x"].sharding.is_fully_replicated
+    out = np.asarray(jax.jit(lambda x: x * 2.0)(ge["x"]))  # locally fetchable
+    assert np.allclose(out, ev * 2.0)
     print(f"proc {{pid}} ok: global sum {{total}}")
     """
 )
@@ -54,7 +72,10 @@ TRAIN_WORKER = textwrap.dedent(
     """
     import os, sys
     sys.path.insert(0, {repo!r})
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
+        "--xla_cpu_collective_timeout_seconds=600")
     os.environ["JAX_PLATFORMS"] = "cpu"
     from jpdse_tpu.platform import honor_jax_platforms_env
     honor_jax_platforms_env()
@@ -189,7 +210,10 @@ def test_two_process_train_cli(tmp_path):
         env = dict(
             os.environ,
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            XLA_FLAGS=(
+                "--xla_force_host_platform_device_count=2 "
+                "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
+                "--xla_cpu_collective_timeout_seconds=600"),
             JPDSE_COORDINATOR=f"localhost:{port}",
             JPDSE_NUM_PROCESSES="2",
             JPDSE_PROCESS_ID=str(pid),

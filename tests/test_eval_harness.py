@@ -93,10 +93,24 @@ def test_coded_bpp_beats_actual_and_tracks_shannon(tmp_path, rng):
     assert len(glob.glob(os.path.join(cfg.save_dir, "codes", "*.rc"))) == 4
 
 
+def _raw_visual_cfg(tmp_path):
+    """Raw visuals through the base codec (the reference's phase-2 shape):
+    the receiver NEEDS the base stream, so it counts toward total_bpp."""
+    cfg = make_cfg(tmp_path)
+    cfg.model.no_generator_binarization = True  # codes = netE4label only
+    cfg.model.no_feat_encoding = True
+    cfg.codec.use_compressed = True
+    assert cfg.has_binary_codes
+    from jpdse_tpu.codec_io import side_requirements
+
+    assert side_requirements(cfg)[2]  # receiver needs the base stream
+    return cfg
+
+
 def test_base_codec_bpp_reaches_eval(tmp_path, rng):
     """use_compressed eval must report the base codec's real rate
     (reference prints it per batch, test.py:78-81) — not 0.0 bpp."""
-    cfg = make_cfg(tmp_path)
+    cfg = _raw_visual_cfg(tmp_path)
     cfg.do_not_get_codes = True  # isolate the base-codec rate path
     tr = StubTrainer(rng)
     loader = fake_loader(rng, n_batches=2)
@@ -112,7 +126,7 @@ def test_base_codec_bpp_reaches_eval(tmp_path, rng):
 
 @pytest.mark.skipif(not native.available(), reason="native coder unavailable")
 def test_total_bpp_sums_learned_and_base(tmp_path, rng):
-    cfg = make_cfg(tmp_path)
+    cfg = _raw_visual_cfg(tmp_path)
     tr = StubTrainer(rng)
     loader = fake_loader(rng, n_batches=1)
     for batch in loader:
@@ -121,6 +135,23 @@ def test_total_bpp_sums_learned_and_base(tmp_path, rng):
     assert avgs["total_bpp"] == pytest.approx(
         avgs["coded_bpp"] + avgs["base_codec_bpp"], rel=1e-9
     )
+
+
+@pytest.mark.skipif(not native.available(), reason="native coder unavailable")
+def test_base_codec_excluded_when_visuals_ride_in_codes(tmp_path, rng):
+    """use_compressed + binarized netE: the base codec is an encoder-side
+    transform (side_requirements need_base=False) — the receiver never sees
+    its bytes, so total_bpp is the coded learned rate alone;
+    base_codec_bpp stays a reported diagnostic."""
+    cfg = make_cfg(tmp_path)  # binarized encoders: visuals ride in codes
+    cfg.codec.use_compressed = True
+    tr = StubTrainer(rng)
+    loader = fake_loader(rng, n_batches=1)
+    for batch in loader:
+        batch["base_codec_bytes"] = np.full(batch["image"].shape[0], 4096, np.int64)
+    avgs = evaluate(cfg, tr, loader)
+    assert avgs["base_codec_bpp"] > 0
+    assert avgs["total_bpp"] == pytest.approx(avgs["coded_bpp"], rel=1e-9)
 
 
 def test_broken_coder_warns_and_nulls_coded_bpp(tmp_path, rng, monkeypatch):

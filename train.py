@@ -89,19 +89,29 @@ def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer, is_main=
 def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
     from jpdse_tpu.data.prefetch import prefetch_to_device
 
-    start = time.time()
-    # double-buffer host->device transfers (mesh-aware via trainer._place)
-    batches = prefetch_to_device(loader, size=2, place_fn=trainer._place)
+    # double-buffer host->device transfers (train batches are per-host rank
+    # shards under multi-host — concatenated over 'dcn' by trainer._place)
+    batches = prefetch_to_device(
+        loader, size=2, place_fn=lambda b: trainer._place(b, local_is_shard=True)
+    )
     # metrics are fetched one step LATE so the device runs ahead of the
     # host's fetch round trips (trainer.step_async); steps are counted
     # host-side so logging never synchronizes on device state
     steps0 = trainer.steps_taken
     n_batches = len(loader)
     pending = None
+    # the fetch in flush() blocks until step i's device compute is done, so
+    # successive flush completions are one true step apart: log THAT as the
+    # batch time (host load + dispatch + device compute), not the
+    # dispatch-only interval, which under async stepping measures ~0
+    t_prev = time.time()
 
     def flush(pending_item):
-        i, handle, t0, t1 = pending_item
+        nonlocal t_prev
+        i, handle = pending_item
         metrics = trainer.fetch_metrics(handle)
+        now = time.time()
+        dt, t_prev = now - t_prev, now
         metrics_log.log(steps0 + i + 1, metrics, epoch=epoch)
         print(
             "g_gan: {G_GAN:.4f}, g_gan_feat_match: {G_GAN_Feat:.4f}, "
@@ -112,17 +122,15 @@ def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
             f"epoch {epoch + 1}/{trainer.start_epoch + cfg.optim.num_epochs}, "
             f"batch {i + 1}/{n_batches}, distortion "
             f"({cfg.loss.distortion_loss_fn}) {metrics['G_Distortion']:.4f}, "
-            f"batch processing time (s) {t1 - t0:.4f}",
+            f"batch processing time (s) {dt:.4f}",
             log_file,
         )
 
     for i, batch in enumerate(batches):
         handle = trainer.step_async(batch)
-        end = time.time()
         if pending is not None:
             flush(pending)
-        pending = (i, handle, start, end)
-        start = time.time()
+        pending = (i, handle)
     if pending is not None:
         flush(pending)
 
