@@ -80,6 +80,14 @@ class DataConfig:
     # from every epoch (this box has 1 CPU; a 2048x1024 PNG decode+bicubic
     # costs ~1s, comparable to a whole TPU train step).
     cache_images: bool = False
+    # hold the cached training set ON DEVICE and assemble batches there
+    # (gather + flip in one tiny jit): zero per-step H2D pixel transfers.
+    # Auto-applies only when it is bit-identical to the host path —
+    # cache_images active, no use_compressed, single device/process, set
+    # fits HBM (data/device_cache.py) — and matters doubly on the TPU relay,
+    # whose client leaks the host copy of every upload (~23MB/step at
+    # flagship shapes; measured round 3, probe in that module's docstring).
+    device_cache: bool = True
     preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
     val_preprocess: PreprocessConfig = field(
         default_factory=lambda: PreprocessConfig("none", 1024, 512, 2.0)
@@ -234,6 +242,13 @@ class OptimConfig:
     # activations — the peak-memory driver of the GAN step — only ever exist
     # for one chunk. 0 = whole batch at once.
     vgg_chunk: int = 0
+    # watchdog: if host RSS exceeds this many GB at an epoch boundary, save a
+    # "latest" checkpoint (save_dir/latest, exact state, not best-val gated)
+    # and exit with code 75 (EX_TEMPFAIL) so a wrapper can restart the
+    # process and resume losslessly. Guards long runs against the TPU-relay
+    # client's per-upload host-memory leak (data/device_cache.py docstring)
+    # in configs the device cache can't cover. 0 disables.
+    max_host_rss_gb: float = 0.0
 
 
 @dataclass

@@ -59,6 +59,10 @@ class DataLoader:
         # with no coordination traffic
         self.rank = rank
         self.world = max(1, world)
+        # meta_only: yield {"index", "flip", "path"} batches that replay the
+        # exact seeded augmentation stream without loading pixels — consumed
+        # by the device-resident dataset cache (data/device_cache.py)
+        self.meta_only = False
 
     def _n_local(self) -> int:
         n = len(self.dataset)
@@ -96,8 +100,9 @@ class DataLoader:
         sample_seeds = base_rng.integers(0, 2**63 - 1, size=len(self.dataset))
 
         def load_one(i: int) -> Dict:
+            kwargs = {"meta_only": True} if self.meta_only else {}
             return self.dataset.__getitem__(
-                i, rng=np.random.default_rng(int(sample_seeds[i]))
+                i, rng=np.random.default_rng(int(sample_seeds[i])), **kwargs
             )
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

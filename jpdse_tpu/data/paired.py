@@ -131,11 +131,30 @@ class PairedDataset:
             self._cache[index] = out
         return out
 
-    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
+    def __getitem__(
+        self,
+        index: int,
+        rng: Optional[np.random.Generator] = None,
+        meta_only: bool = False,
+    ) -> Dict:
         cfg = self.cfg
         rng = rng if rng is not None else np.random.default_rng()
         pp = cfg.data.preprocess
         is_train = cfg.is_train
+
+        if meta_only:
+            # Device-cache replay (data/device_cache.py): draw the SAME
+            # seeded augmentation params the host path would, but return only
+            # (index, flip, path) — the pixels are already resident on device.
+            if not self._cache_enabled:
+                raise ValueError("meta_only requires cache_images")
+            _, _, _, image_path, orig_size = self._resized_arrays(index)
+            params = sample_params(pp, orig_size, rng, cfg.data.no_flip)
+            return {
+                "index": np.int32(index),
+                "flip": np.bool_(is_train and params["flip"]),
+                "path": image_path,
+            }
 
         if self._cache_enabled:
             # deterministic decode+resize memoized; flip + normalize per call

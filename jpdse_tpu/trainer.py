@@ -498,8 +498,46 @@ class Trainer:
         save_checkpoint(self.cfg.save_dir, self.state, epoch, meta)
         print(f"\ncheckpoint saved to {self.cfg.save_dir}\n")
 
+    def save_latest(self, epoch: int):
+        """Crash/watchdog resume point: the EXACT current state, saved
+        unconditionally to save_dir/latest. Best-val gating (the reference's
+        checkpoint semantics, train.py:129) is untouched — `latest` exists
+        only so an interrupted run resumes losslessly; model selection still
+        reads the best-val checkpoint in save_dir itself."""
+        meta = {"latest": True}
+        if self.sched is not None:
+            meta["scheduler"] = self.sched.state_dict()
+        latest_dir = os.path.join(self.cfg.save_dir, "latest")
+        save_checkpoint(latest_dir, self.state, epoch, meta)
+        print(f"\nlatest-state checkpoint saved to {latest_dir}\n")
+
+    @staticmethod
+    def _meta_epoch(ckpt_dir: str) -> int:
+        from jpdse_tpu.train.checkpoint import META_FILE
+
+        try:
+            with open(os.path.join(ckpt_dir, META_FILE)) as f:
+                import json
+
+                return int(json.load(f).get("epoch", -1))
+        except (OSError, ValueError):
+            return -1
+
     def load(self):
         ckpt_dir = self.cfg.checkpoints_dir or self.cfg.save_dir
+        # Same-directory resume (checkpoints_dir == save_dir, the chunked /
+        # watchdog-restart case): continue from `latest` when it is newer
+        # than the best-val checkpoint. Cross-phase warm starts (different
+        # directory) keep the reference semantics: load the saved best.
+        if (
+            self.mode == "train"
+            and self.cfg.save_dir
+            and os.path.abspath(ckpt_dir) == os.path.abspath(self.cfg.save_dir)
+        ):
+            latest = os.path.join(ckpt_dir, "latest")
+            if self._meta_epoch(latest) > self._meta_epoch(ckpt_dir):
+                print("resuming from latest-state checkpoint (newer than best-val)")
+                ckpt_dir = latest
         self.state, meta = restore_checkpoint(
             ckpt_dir, self.state, restore_opt=(self.mode == "train")
         )

@@ -1,0 +1,133 @@
+"""Device-resident dataset cache (data/device_cache.py): on-device batch
+assembly must be bit-identical to host assembly, and the watchdog-driven
+chunked resume (save_dir/latest) must continue a run losslessly."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from jpdse_tpu.config import Config, apply_dataset_defaults
+from jpdse_tpu.data import create_dataloader
+from jpdse_tpu.data.device_cache import DeviceDatasetCache, maybe_device_cache
+
+CITYSCAPES_ROOT = "/root/reference/datasets/cityscapes_test_CVPR20_1024"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CITYSCAPES_ROOT), reason="bundled cityscapes subset not present"
+)
+
+
+def train_cfg(n=6) -> Config:
+    cfg = Config()
+    cfg.data.dataset = "cityscapes"
+    apply_dataset_defaults(cfg)
+    cfg.data.root_dir = CITYSCAPES_ROOT
+    cfg.mode = "val"  # bundled subset lives under val/
+    cfg.is_train = True
+    cfg.data.preprocess.preprocess_mode = "fixed"
+    cfg.data.preprocess.crop_size = 256
+    cfg.data.preprocess.aspect_ratio = 2.0
+    cfg.data.batch_size = 2
+    cfg.data.max_dataset_size = n
+    cfg.data.cache_images = True
+    cfg.data.num_workers = 2
+    cfg.optim.seed = 7
+    return cfg
+
+
+def test_device_batches_bit_identical_to_host():
+    cfg = train_cfg()
+    host_loader = create_dataloader(cfg)
+    meta_loader = create_dataloader(cfg)
+    cache = maybe_device_cache(meta_loader, cfg)
+    assert cache is not None
+    meta_loader.meta_only = True
+
+    saw_flip, saw_noflip = False, False
+    for epoch in range(2):  # 2 epochs: distinct shuffles + flip draws
+        host_loader.set_epoch(epoch)
+        meta_loader.set_epoch(epoch)
+        for hb, mb in zip(host_loader, meta_loader):
+            assert list(hb["path"]) == list(mb["path"])
+            saw_flip |= bool(np.any(mb["flip"]))
+            saw_noflip |= not np.all(mb["flip"])
+            placed = cache.place(mb)
+            for k in ("image", "label", "instance"):
+                np.testing.assert_array_equal(
+                    np.asarray(placed[k]), hb[k], err_msg=f"{k} epoch {epoch}"
+                )
+    assert saw_flip and saw_noflip  # both flip branches exercised
+
+
+def test_gating():
+    cfg = train_cfg()
+    # no cache_images -> no device cache
+    cfg2 = train_cfg()
+    cfg2.data.cache_images = False
+    assert maybe_device_cache(create_dataloader(cfg2), cfg2) is None
+    # use_compressed -> host path (per-flip base-codec re-encode)
+    cfg3 = train_cfg()
+    cfg3.codec.use_compressed = True
+    assert maybe_device_cache(create_dataloader(cfg3), cfg3) is None
+    # HBM budget guard
+    loader = create_dataloader(cfg)
+    assert maybe_device_cache(loader, cfg, max_gb=1e-6) is None
+    # flag off
+    cfg4 = train_cfg()
+    cfg4.data.device_cache = False
+    assert maybe_device_cache(create_dataloader(cfg4), cfg4) is None
+
+
+TINY = (
+    "--dataset cityscapes --root_dir {root} --model pix2pixHD "
+    "--no_label_encoding --no_feat_encoding --no_generator_binarization "
+    "--preprocess_mode fixed --load_size 128 --crop_size 128 "
+    "--val_preprocess_mode fixed --val_load_size 128 --val_crop_size 128 "
+    "--ngf 8 --ndf 8 --n_downsample_global 2 --n_blocks_global 1 --num_D 2 "
+    "--batch_size 2 --max_dataset_size 4 --no_vgg_loss --seed 0 --mode val "
+    "--cache_images "
+)
+
+
+def run(args, timeout=900):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py")] + args.split(),
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_watchdog_chunked_resume(tmp_path):
+    save = tmp_path / "run"
+    # watchdog threshold far below any real process RSS -> exits 75 after
+    # the first epoch with a latest-state checkpoint. val_interval 5 keeps
+    # the best-val checkpoint from existing, so the resume must use latest.
+    r = run(
+        TINY.format(root=CITYSCAPES_ROOT)
+        + f"--num_epochs 3 --val_interval 5 --save_dir {save} "
+        f"--max_host_rss_gb 0.001"
+    )
+    assert r.returncode == 75, (r.stdout[-2000:], r.stderr[-2000:])
+    assert (save / "latest" / "trainer_meta.json").exists()
+    meta = json.loads((save / "latest" / "trainer_meta.json").read_text())
+    first_stop = meta["epoch"]
+
+    # wrapper-style restart: same save_dir as checkpoints_dir resumes from
+    # latest (watchdog off now) and runs to completion
+    r2 = run(
+        TINY.format(root=CITYSCAPES_ROOT)
+        + f"--num_epochs 2 --always_save --save_dir {save} "
+        f"--load_model --checkpoints_dir {save}"
+    )
+    assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
+    assert "resuming from latest-state checkpoint" in r2.stdout
+    assert f"starting from epoch {first_stop + 2}" in r2.stdout

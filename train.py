@@ -33,6 +33,14 @@ from jpdse_tpu.utils.visualizer import HTMLGallery, Visualizer
 MAX_VAL_SIZE = 30  # reference train.py:16
 
 
+def host_rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1048576
+    return 0.0
+
+
 def log(msg: str, log_file=None):
     print(msg)
     if log_file:
@@ -86,14 +94,18 @@ def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer, is_main=
         gallery.save()
 
 
-def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file):
+def _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file, dev_cache=None):
     from jpdse_tpu.data.prefetch import prefetch_to_device
 
     # double-buffer host->device transfers (train batches are per-host rank
-    # shards under multi-host — concatenated over 'dcn' by trainer._place)
-    batches = prefetch_to_device(
-        loader, size=2, place_fn=lambda b: trainer._place(b, local_is_shard=True)
-    )
+    # shards under multi-host — concatenated over 'dcn' by trainer._place).
+    # With a device-resident dataset cache the loader yields (index, flip)
+    # meta batches and assembly happens on device — zero pixel H2D per step.
+    if dev_cache is not None:
+        place = lambda b: trainer._place(dev_cache.place(b), local_is_shard=True)
+    else:
+        place = lambda b: trainer._place(b, local_is_shard=True)
+    batches = prefetch_to_device(loader, size=2, place_fn=place)
     # metrics are fetched one step LATE so the device runs ahead of the
     # host's fetch round trips (trainer.step_async); steps are counted
     # host-side so logging never synchronizes on device state
@@ -177,6 +189,12 @@ def main():
         # validate to confirm the load (reference train.py:51-76)
         validate(trainer, val_loader, log_file, cfg)
 
+    from jpdse_tpu.data.device_cache import maybe_device_cache
+
+    dev_cache = maybe_device_cache(loader, cfg, mesh=trainer.mesh)
+    if dev_cache is not None:
+        loader.meta_only = True
+
     from jpdse_tpu.utils.profiling import trace
 
     profiled_first_epoch = False
@@ -192,7 +210,9 @@ def main():
         )
         profiled_first_epoch = True
         with profile_ctx:
-            _run_epoch(trainer, loader, cfg, epoch, metrics_log, log_file)
+            _run_epoch(
+                trainer, loader, cfg, epoch, metrics_log, log_file, dev_cache
+            )
 
         if not (epoch + 1) % cfg.optim.val_interval:
             avg = validate(trainer, val_loader, log_file, cfg)
@@ -209,6 +229,25 @@ def main():
                 )
                 log("saving model...", log_file)
                 trainer.save(epoch, avg)
+
+        if (
+            cfg.optim.max_host_rss_gb
+            and cfg.save_dir
+            and host_rss_gb() > cfg.optim.max_host_rss_gb
+        ):
+            # The TPU-relay client leaks host memory per upload
+            # (data/device_cache.py docstring); for configs the device cache
+            # can't cover, chunk the run: save the exact state and exit 75
+            # so a wrapper loop restarts the process, which resumes from
+            # save_dir/latest losslessly (trainer.load prefers it).
+            log(
+                f"host RSS {host_rss_gb():.1f}GB > --max_host_rss_gb "
+                f"{cfg.optim.max_host_rss_gb}; saving latest state and "
+                f"exiting 75 for a wrapper restart",
+                log_file,
+            )
+            trainer.save_latest(epoch)
+            raise SystemExit(75)
 
     if jax.process_count() > 1:
         # keep fast processes alive until process 0 finishes its host-side
