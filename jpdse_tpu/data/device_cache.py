@@ -59,7 +59,7 @@ class DeviceDatasetCache:
     """Builds the on-device stacked dataset and assembles placed batches from
     loader meta batches ({"index", "flip", "path"})."""
 
-    def __init__(self, dataset, cfg, device=None):
+    def __init__(self, dataset, cfg):
         self.dataset = dataset
         self.cfg = cfg
         n = len(dataset)
@@ -82,10 +82,7 @@ class DeviceDatasetCache:
         }
         del samples
         self.nbytes = sum(v.nbytes for v in host.values())
-        self.ds = {
-            k: (jax.device_put(v, device) if device is not None else jax.device_put(v))
-            for k, v in host.items()
-        }
+        self.ds = {k: jax.device_put(v) for k, v in host.items()}
         self._fn = jax.jit(_assemble)
 
     def place(self, meta_batch: Dict) -> Dict:

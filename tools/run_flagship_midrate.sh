@@ -32,71 +32,7 @@ COMMON="--dataset cityscapes --root_dir ${ROOT} --model pix2pixHD \
   --val_interval ${VAL_INT} --max_recon_dump 2 --max_host_rss_gb 100 \
   --normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
 
-# epochs completed in a phase dir: best-val checkpoint or watchdog `latest`,
-# whichever is newer (train/checkpoint.py trainer_meta.json sidecars)
-done_epochs () {
-  python - "$1" <<'PY'
-import json, os, sys
-d = sys.argv[1]
-best = -1
-for p in (os.path.join(d, "trainer_meta.json"),
-          os.path.join(d, "latest", "trainer_meta.json")):
-    try:
-        best = max(best, json.load(open(p))["epoch"])
-    except Exception:
-        pass
-print(best + 1)
-PY
-}
-
-# Phases run to a TOTAL epoch target (persisted in ${dir}/PHASE_TARGET) and
-# survive watchdog restarts: train.py exits 75 when host RSS crosses
-# --max_host_rss_gb after saving an exact `latest` state, and the loop
-# relaunches a fresh process that resumes losslessly (the TPU-relay client
-# leaks host memory per upload; the device cache removes the per-step driver
-# and this loop covers whatever remains — data/device_cache.py).
-run_phase () {
-  local name=$1 prev=$2 epochs=$3; shift 3
-  local dir=${OUT}/${name}
-  mkdir -p "${dir}"
-  if [ -f "${dir}/PHASE_DONE" ]; then
-    echo "--- phase ${name} already complete ---"
-    return
-  fi
-  # bootstrap epoch (always_save) unless resuming this phase
-  if [ ! -d "${dir}/params" ] && [ ! -d "${dir}/latest/params" ]; then
-    local load=""
-    if [ -n "${prev}" ]; then load="--load_model --checkpoints_dir ${prev}"; fi
-    python train.py ${COMMON} "$@" ${load} \
-      --save_dir "${dir}" --num_epochs 1 --always_save --val_interval 1
-  fi
-  if [ ! -f "${dir}/PHASE_TARGET" ]; then
-    echo $(( $(done_epochs "${dir}") + epochs )) > "${dir}/PHASE_TARGET"
-  fi
-  local target
-  target=$(cat "${dir}/PHASE_TARGET")
-  while true; do
-    local done rem rc
-    done=$(done_epochs "${dir}")
-    rem=$(( target - done ))
-    if [ "${rem}" -le 0 ]; then break; fi
-    echo "--- phase ${name}: ${done}/${target} epochs checkpointed, running ${rem} more ---"
-    set +e
-    python train.py ${COMMON} "$@" \
-      --load_model --checkpoints_dir "${dir}" \
-      --save_dir "${dir}" --num_epochs "${rem}"
-    rc=$?
-    set -e
-    if [ "${rc}" -eq 0 ]; then
-      break
-    elif [ "${rc}" -eq 75 ]; then
-      echo "--- watchdog restart (host RSS cap) ---"
-    else
-      exit "${rc}"
-    fi
-  done
-  touch "${dir}/PHASE_DONE"
-}
+. "$(dirname "$0")/flagship_phase_lib.sh"
 
 if [ ! -d "${WARM}/params" ]; then
   echo "ERROR: warm checkpoint ${WARM}/params not found" >&2

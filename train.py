@@ -233,6 +233,9 @@ def main():
         if (
             cfg.optim.max_host_rss_gb
             and cfg.save_dir
+            and jax.process_count() == 1  # per-process RSS decision + exit
+            # would desync a multi-host run's collectives; multi-host leak
+            # mitigation is the device cache / external orchestration
             and host_rss_gb() > cfg.optim.max_host_rss_gb
         ):
             # The TPU-relay client leaks host memory per upload
