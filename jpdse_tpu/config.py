@@ -242,6 +242,13 @@ class OptimConfig:
     # activations — the peak-memory driver of the GAN step — only ever exist
     # for one chunk. 0 = whole batch at once.
     vgg_chunk: int = 0
+    # save an exact `latest` resume point (save_dir/latest, not best-val
+    # gated) every N epochs, bounding the rework a crash/relay-stall can
+    # cause under best-val-gated checkpointing (GAN-phase val wobbles for
+    # hundreds of epochs without improving, so the best checkpoint can be
+    # arbitrarily old). A full-state save costs ~70-80s through the relay
+    # at flagship scale — choose N for a few % overhead. 0 disables.
+    latest_interval: int = 0
     # watchdog: if host RSS exceeds this many GB at an epoch boundary, save a
     # "latest" checkpoint (save_dir/latest, exact state, not best-val gated)
     # and exit with code 75 (EX_TEMPFAIL) so a wrapper can restart the

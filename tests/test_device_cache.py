@@ -106,6 +106,21 @@ def run(args, timeout=900):
     )
 
 
+def test_latest_interval_periodic_save(tmp_path):
+    # --latest_interval saves an exact resume point even when best-val
+    # gating never fires (no val at all here: val_interval 5 > num_epochs)
+    save = tmp_path / "run"
+    r = run(
+        TINY.format(root=CITYSCAPES_ROOT)
+        + f"--num_epochs 2 --val_interval 5 --latest_interval 2 "
+        f"--save_dir {save}"
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert not (save / "params").exists()  # best-val never saved
+    meta = json.loads((save / "latest" / "trainer_meta.json").read_text())
+    assert meta["epoch"] == 1  # 0-indexed epoch 1 == end of 2nd epoch
+
+
 def test_watchdog_chunked_resume(tmp_path):
     save = tmp_path / "run"
     # watchdog threshold far below any real process RSS -> exits 75 after

@@ -1,13 +1,21 @@
 # Shared phase-runner helpers for the flagship training recipes
-# (run_flagship_lowrate.sh / run_flagship_midrate.sh). Source after
-# defining OUT and COMMON.
+# (run_flagship_{lowrate,midrate,compressed}.sh). Source after defining
+# OUT and COMMON.
 #
 # Phases run to a TOTAL epoch target (persisted in ${dir}/PHASE_TARGET) and
-# survive watchdog restarts: train.py exits 75 when host RSS crosses
-# --max_host_rss_gb after saving an exact `latest` state, and the loop
-# relaunches a fresh process that resumes losslessly (the TPU-relay client
-# leaks host memory per upload; the device cache removes the per-step driver
-# and this loop covers whatever remains — data/device_cache.py).
+# survive two distinct failure modes of long unattended runs on the relay:
+#  - host-RSS watchdog restarts: train.py exits 75 when RSS crosses
+#    --max_host_rss_gb after saving an exact `latest` state (the relay
+#    client leaks host memory per upload — data/device_cache.py), and the
+#    loop relaunches a fresh process that resumes losslessly;
+#  - relay stalls: the relay occasionally hangs one request forever
+#    (observed: train.py silent 11+ min, every thread in futex_wait, one
+#    idle TCP to the relay). A sidecar guard kills train.py when the loss
+#    log goes silent for STALL_TIMEOUT (default 1500s — full-size compiles
+#    legitimately go ~10-18 min without output); the retry loop treats any
+#    nonzero exit as transient when the invocation made progress (>= one
+#    epoch of log lines), with a 3-strike cap so a genuinely broken config
+#    still aborts instead of crash-looping.
 #
 # Marker files (PHASE_DONE / PHASE_TARGET / trainer_meta.json) are only
 # trusted when an actual checkpoint is present — a fresh clone carries the
@@ -34,6 +42,38 @@ print(best + 1)
 PY
 }
 
+# run `python train.py "$@"` with a log-silence stall guard on ${dir}.
+_train_with_stall_guard () {
+  local dir=$1; shift
+  python train.py "$@" &
+  local tpid=$!
+  (
+    while kill -0 "${tpid}" 2>/dev/null; do
+      sleep 60
+      if [ -f "${dir}/loss_log.txt" ]; then
+        age=$(( $(date +%s) - $(stat -c %Y "${dir}/loss_log.txt") ))
+        if [ "${age}" -gt "${STALL_TIMEOUT:-1500}" ]; then
+          echo "--- stall guard: no log output for ${age}s; killing train.py (${tpid}) ---"
+          kill "${tpid}" 2>/dev/null
+          sleep 15
+          kill -9 "${tpid}" 2>/dev/null
+          break
+        fi
+      fi
+    done
+  ) &
+  local gpid=$!
+  local rc=0
+  wait "${tpid}" || rc=$?
+  kill "${gpid}" 2>/dev/null
+  wait "${gpid}" 2>/dev/null || true
+  return "${rc}"
+}
+
+_log_lines () {
+  wc -l < "$1/loss_log.txt" 2>/dev/null || echo 0
+}
+
 run_phase () {
   local name=$1 prev=$2 epochs=$3; shift 3
   local dir=${OUT}/${name}
@@ -42,27 +82,38 @@ run_phase () {
     echo "--- phase ${name} already complete ---"
     return
   fi
+  local strikes=0 rc lines_before lines_after
   # bootstrap epoch (always_save) unless resuming this phase
-  if [ ! -d "${dir}/params" ] && [ ! -d "${dir}/latest/params" ]; then
+  while [ ! -d "${dir}/params" ] && [ ! -d "${dir}/latest/params" ]; do
     rm -f "${dir}/PHASE_DONE" "${dir}/PHASE_TARGET"  # stale committed markers
     local load=""
     if [ -n "${prev}" ]; then load="--load_model --checkpoints_dir ${prev}"; fi
-    python train.py ${COMMON} "$@" ${load} \
+    set +e
+    _train_with_stall_guard "${dir}" ${COMMON} "$@" ${load} \
       --save_dir "${dir}" --num_epochs 1 --always_save --val_interval 1
-  fi
+    rc=$?
+    set -e
+    if [ "${rc}" -ne 0 ]; then
+      strikes=$((strikes + 1))
+      echo "--- phase ${name} bootstrap failed (rc=${rc}, strike ${strikes}/3) ---"
+      if [ "${strikes}" -ge 3 ]; then exit "${rc}"; fi
+    fi
+  done
   if [ ! -f "${dir}/PHASE_TARGET" ]; then
     echo $(( $(done_epochs "${dir}") + epochs )) > "${dir}/PHASE_TARGET"
   fi
   local target
   target=$(cat "${dir}/PHASE_TARGET")
+  strikes=0
   while true; do
-    local done rem rc
+    local done rem
     done=$(done_epochs "${dir}")
     rem=$(( target - done ))
     if [ "${rem}" -le 0 ]; then break; fi
     echo "--- phase ${name}: ${done}/${target} epochs checkpointed, running ${rem} more ---"
+    lines_before=$(_log_lines "${dir}")
     set +e
-    python train.py ${COMMON} "$@" \
+    _train_with_stall_guard "${dir}" ${COMMON} "$@" \
       --load_model --checkpoints_dir "${dir}" \
       --save_dir "${dir}" --num_epochs "${rem}"
     rc=$?
@@ -71,8 +122,19 @@ run_phase () {
       break
     elif [ "${rc}" -eq 75 ]; then
       echo "--- watchdog restart (host RSS cap) ---"
+      strikes=0
     else
-      exit "${rc}"
+      lines_after=$(_log_lines "${dir}")
+      if [ $(( lines_after - lines_before )) -ge 13 ]; then
+        # made >= one epoch of progress before dying: transient (relay
+        # stall/drop); resume from the newest checkpoint
+        echo "--- transient failure (rc=${rc}) after progress; restarting ---"
+        strikes=0
+      else
+        strikes=$((strikes + 1))
+        echo "--- failure with no progress (rc=${rc}, strike ${strikes}/3) ---"
+        if [ "${strikes}" -ge 3 ]; then exit "${rc}"; fi
+      fi
     fi
   done
   touch "${dir}/PHASE_DONE"

@@ -36,7 +36,7 @@ COMMON="--dataset cityscapes --root_dir ${ROOT} --model pix2pixHD \
   --val_preprocess_mode fixed --val_load_size 1024 --val_crop_size 1024 \
   --test_preprocess_mode fixed --test_load_size 1024 --test_crop_size 1024 \
   --batch_size 2 --num_workers 2 --seed 1234 --cache_images --remat \
-  --val_interval ${VAL_INT} --max_recon_dump 2 --max_host_rss_gb 100"
+  --val_interval ${VAL_INT} --max_recon_dump 2 --max_host_rss_gb 100 --latest_interval 100"
 
 STD2="--normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
 

@@ -214,6 +214,7 @@ def main():
                 trainer, loader, cfg, epoch, metrics_log, log_file, dev_cache
             )
 
+        saved_this_epoch = False
         if not (epoch + 1) % cfg.optim.val_interval:
             avg = validate(trainer, val_loader, log_file, cfg)
             if cfg.optim.schedule_lr:
@@ -229,6 +230,18 @@ def main():
                 )
                 log("saving model...", log_file)
                 trainer.save(epoch, avg)
+                saved_this_epoch = True
+
+        if (
+            cfg.optim.latest_interval
+            and cfg.save_dir
+            and not saved_this_epoch
+            and not (epoch + 1) % cfg.optim.latest_interval
+        ):
+            # bound crash/stall rework under best-val-gated checkpointing;
+            # every process reaches this deterministically, so the Orbax
+            # save barriers line up under multi-host too
+            trainer.save_latest(epoch)
 
         if (
             cfg.optim.max_host_rss_gb
