@@ -43,22 +43,31 @@ PY
 }
 
 # run `python train.py "$@"` with a log-silence stall guard on ${dir}.
+# Silence is measured from max(loss_log mtime, THIS invocation's start):
+# the log predates the process (previous invocation wrote it), and an
+# age-from-mtime guard would kill every retry during its legitimate
+# multi-minute startup (init + load + validate writes nothing until done).
 _train_with_stall_guard () {
   local dir=$1; shift
+  local started
+  started=$(date +%s)
   python train.py "$@" &
   local tpid=$!
   (
     while kill -0 "${tpid}" 2>/dev/null; do
       sleep 60
+      last="${started}"
       if [ -f "${dir}/loss_log.txt" ]; then
-        age=$(( $(date +%s) - $(stat -c %Y "${dir}/loss_log.txt") ))
-        if [ "${age}" -gt "${STALL_TIMEOUT:-1500}" ]; then
-          echo "--- stall guard: no log output for ${age}s; killing train.py (${tpid}) ---"
-          kill "${tpid}" 2>/dev/null
-          sleep 15
-          kill -9 "${tpid}" 2>/dev/null
-          break
-        fi
+        mt=$(stat -c %Y "${dir}/loss_log.txt")
+        [ "${mt}" -gt "${last}" ] && last="${mt}"
+      fi
+      age=$(( $(date +%s) - last ))
+      if [ "${age}" -gt "${STALL_TIMEOUT:-1500}" ]; then
+        echo "--- stall guard: no log output for ${age}s; killing train.py (${tpid}) ---"
+        kill "${tpid}" 2>/dev/null
+        sleep 15
+        kill -9 "${tpid}" 2>/dev/null
+        break
       fi
     done
   ) &
