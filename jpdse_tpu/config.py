@@ -83,8 +83,9 @@ class DataConfig:
     # hold the cached training set ON DEVICE and assemble batches there
     # (gather + flip in one tiny jit): zero per-step H2D pixel transfers.
     # Auto-applies only when it is bit-identical to the host path —
-    # cache_images active, no use_compressed, single device/process, set
-    # fits HBM (data/device_cache.py) — and matters doubly on the TPU relay,
+    # cache_images active, single device/process, set fits HBM
+    # (data/device_cache.py; use_compressed stores both flip variants of
+    # the base-codec output) — and matters doubly on the TPU relay,
     # whose client leaks the host copy of every upload (~23MB/step at
     # flagship shapes; measured round 3, probe in that module's docstring).
     device_cache: bool = True

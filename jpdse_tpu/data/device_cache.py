@@ -21,9 +21,13 @@ stream the host path would consume, so the (index, flip) sequence is
 identical to what host assembly would have produced.
 
 Applies when: ``cache_images`` is active (deterministic fixed/none
-preprocessing), no external base codec in the batch (``use_compressed``
-re-encodes per flip on the host), single-process, and the whole set fits the
-HBM budget. Anything else falls back to the host path with a printed reason.
+preprocessing), single-process, and the whole set fits the HBM budget.
+``use_compressed`` configs are covered too: base-codec outputs are not
+flip-equivariant, so BOTH flip variants of ``compressed`` live on device
+(selected by index), computed once through the dataset's memoized
+``_compressed_arrays`` — this also removes the ~1.3s/image in-process HEVC
+encode from the steady-state loop on this 1-CPU host. Anything else falls
+back to the host path with a printed reason.
 
 Reference counterpart: none — the reference re-decodes PNGs and re-uploads
 every batch (ctu/data/ctu_dataset.py:91-116 + torch DataLoader H2D).
@@ -45,9 +49,17 @@ def _assemble(ds: Dict, idx, flip) -> Dict:
     """Gather samples ``idx`` from the stacked dataset arrays and flip the
     selected ones along W. jit-compiled once per batch size; the dataset
     arrays are ARGUMENTS (never closures — the remote-compile relay rejects
-    graphs with large baked constants)."""
+    graphs with large baked constants).
+
+    ``compressed`` is special: base-codec artifacts are not flip-equivariant
+    (codec(flip(x)) != flip(codec(x))), so both flip variants are stored
+    ((2N, H, W, C), variant-major) and selected by index instead of flipped
+    on device."""
     out = {}
     for k, v in ds.items():
+        if k == "compressed":
+            out[k] = jnp.take(v, idx * 2 + flip.astype(jnp.int32), axis=0)
+            continue
         g = jnp.take(v, idx, axis=0)  # (B, H, W[, C])
         rev = g[:, :, ::-1]
         cond = flip.reshape((-1,) + (1,) * (g.ndim - 1))
@@ -81,6 +93,16 @@ class DeviceDatasetCache:
             if k in samples[0]
         }
         del samples
+        if cfg.codec.use_compressed:
+            # both flip variants, interleaved (i*2 + flip): the base-codec
+            # round trip is memoized per (index, flip) by the dataset
+            host["compressed"] = np.stack(
+                [
+                    dataset._compressed_arrays(i, f)[0]
+                    for i in range(n)
+                    for f in (False, True)
+                ]
+            )
         self.nbytes = sum(v.nbytes for v in host.values())
         self.ds = {k: jax.device_put(v) for k, v in host.items()}
         self._fn = jax.jit(_assemble)
@@ -109,8 +131,8 @@ def maybe_device_cache(
     dataset = loader.dataset
     if not getattr(dataset, "_cache_enabled", False):
         return decline("requires cache_images with deterministic preprocessing")
-    if cfg.codec.use_compressed:
-        return decline("use_compressed re-encodes per flip on the host")
+    if cfg.codec.use_compressed and not hasattr(dataset, "_compressed_arrays"):
+        return decline("dataset cannot memoize base-codec round trips")
     if mesh is not None:
         return decline("mesh sharding places batches per-shard")
     if jax.process_count() > 1:
@@ -124,6 +146,8 @@ def maybe_device_cache(
         return decline(f"{type(dataset).__name__} does not support meta replay")
     probe = dataset.__getitem__(0, rng=np.random.default_rng(0))
     est = n * sum(np.asarray(probe[k]).nbytes for k in CACHE_KEYS if k in probe)
+    if "compressed" in probe:
+        est += 2 * n * np.asarray(probe["compressed"]).nbytes
     if est > max_gb * 1024**3:
         return decline(
             f"dataset ~{est / 1024**3:.2f}GB exceeds the {max_gb}GB HBM budget"

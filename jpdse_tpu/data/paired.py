@@ -59,6 +59,11 @@ class PairedDataset:
         # pre-normalize) arrays per index. Only valid when the geometric
         # transform is deterministic (no random crop): 'fixed' and 'none'.
         self._cache: Dict[int, Tuple] = {}
+        # base-codec round trips memoized per (index, flip) — deterministic
+        # under cached preprocessing, and the in-process HEVC encode costs
+        # ~1.3s per 1024x512 image on this 1-CPU host (it would otherwise
+        # run per sample per training step)
+        self._comp_cache: Dict[Tuple[int, bool], Tuple] = {}
         self._cache_enabled = cfg.data.cache_images and (
             cfg.data.preprocess.preprocess_mode in ("fixed", "none")
         )
@@ -197,18 +202,56 @@ class PairedDataset:
             # (pix2pixHD_model.py:324-359); the exact bitstreams ride along so
             # the deploy encoder (trainer.compress) can embed them in .jpds
             # side info without re-encoding
-            img_u8 = tensor2im(image_arr, cfg.data.normalize_mean, cfg.data.normalize_std)
-            compressed, nbytes, streams, eff_ext = compress_for_model(
-                img_u8,
-                cfg.codec.ext,
-                cfg.codec.quality,
-                cfg.data.normalize_mean,
-                cfg.data.normalize_std,
-                return_streams=True,
-            )
+            if self._cache_enabled:
+                compressed, nbytes, streams, eff_ext = self._compressed_arrays(
+                    index, flip
+                )
+            else:
+                img_u8 = tensor2im(
+                    image_arr, cfg.data.normalize_mean, cfg.data.normalize_std
+                )
+                compressed, nbytes, streams, eff_ext = compress_for_model(
+                    img_u8,
+                    cfg.codec.ext,
+                    cfg.codec.quality,
+                    cfg.data.normalize_mean,
+                    cfg.data.normalize_std,
+                    return_streams=True,
+                )
             sample["compressed"] = compressed
             sample["base_codec_bytes"] = nbytes
             sample["base_codec_streams"] = streams
             sample["base_codec_ext"] = eff_ext
 
         return self.postprocess(sample)
+
+    def _compressed_arrays(self, index: int, flip: bool):
+        """Memoized base-codec round trip of the cached (resized) sample at
+        the given flip: (normalized float32 (H, W, 3*len(quality)), total
+        bytes, bitstreams, effective ext). Bit-identical to the inline path:
+        normalize(flip(cached u8)) -> tensor2im -> compress_for_model, the
+        exact op sequence __getitem__ performs."""
+        key = (index, bool(flip))
+        hit = self._comp_cache.get(key)
+        if hit is not None:
+            return hit
+        cfg = self.cfg
+        image_u8 = self._resized_arrays(index)[0]
+        if flip:
+            image_u8 = image_u8[:, ::-1]
+        mean = np.asarray(cfg.data.normalize_mean, np.float32)
+        std = np.asarray(cfg.data.normalize_std, np.float32)
+        image_arr = (image_u8.astype(np.float32) / 255.0 - mean) / std
+        img_u8 = tensor2im(
+            image_arr, cfg.data.normalize_mean, cfg.data.normalize_std
+        )
+        out = compress_for_model(
+            img_u8,
+            cfg.codec.ext,
+            cfg.codec.quality,
+            cfg.data.normalize_mean,
+            cfg.data.normalize_std,
+            return_streams=True,
+        )
+        self._comp_cache[key] = out
+        return out

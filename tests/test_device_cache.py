@@ -70,10 +70,6 @@ def test_gating():
     cfg2 = train_cfg()
     cfg2.data.cache_images = False
     assert maybe_device_cache(create_dataloader(cfg2), cfg2) is None
-    # use_compressed -> host path (per-flip base-codec re-encode)
-    cfg3 = train_cfg()
-    cfg3.codec.use_compressed = True
-    assert maybe_device_cache(create_dataloader(cfg3), cfg3) is None
     # HBM budget guard
     loader = create_dataloader(cfg)
     assert maybe_device_cache(loader, cfg, max_gb=1e-6) is None
@@ -81,6 +77,29 @@ def test_gating():
     cfg4 = train_cfg()
     cfg4.data.device_cache = False
     assert maybe_device_cache(create_dataloader(cfg4), cfg4) is None
+
+
+def test_compressed_device_batches_bit_identical(tmp_path):
+    """use_compressed configs: both flip variants of the base-codec output
+    live on device; assembled batches must equal host batches exactly."""
+    cfg = train_cfg(n=4)
+    cfg.codec.use_compressed = True
+    cfg.codec.ext = "jpg"
+    cfg.codec.quality = (60,)
+    host_loader = create_dataloader(cfg)
+    meta_loader = create_dataloader(cfg)
+    cache = maybe_device_cache(meta_loader, cfg)
+    assert cache is not None
+    meta_loader.meta_only = True
+    for epoch in range(2):
+        host_loader.set_epoch(epoch)
+        meta_loader.set_epoch(epoch)
+        for hb, mb in zip(host_loader, meta_loader):
+            placed = cache.place(mb)
+            for k in ("image", "label", "instance", "compressed"):
+                np.testing.assert_array_equal(
+                    np.asarray(placed[k]), hb[k], err_msg=f"{k} epoch {epoch}"
+                )
 
 
 TINY = (

@@ -12,10 +12,11 @@
 # losslessly-coded label/instance maps, decompress.py reconstructs from the
 # file alone, and eval rate accounts every byte.
 #
-# use_compressed re-encodes per flip on the host, so the device cache
-# declines (data/device_cache.py) and the relay H2D leak applies: the
-# --max_host_rss_gb watchdog + run_phase restart loop chunk the run
-# (tools/flagship_phase_lib.sh).
+# The device cache covers this config too: both flip variants of the
+# base-codec output live on device (data/device_cache.py), so the
+# steady-state loop performs neither the ~1.3s/image HEVC encode nor the
+# leaking per-step H2D upload; the --max_host_rss_gb watchdog +
+# run_phase restart loop remain as the backstop.
 #
 # Warm start: the trained fully-learned phase-3 checkpoint; the trunk/res
 # blocks restore by path+shape, the input convs the channel change touches
