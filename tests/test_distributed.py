@@ -248,25 +248,41 @@ def test_two_process_train_step(tmp_path):
     """A real GAN train step across two coordinated processes: params/opt
     states replicate over the (dcn, data, spatial) mesh, each host feeds its
     local batch shard, gradient reductions ride the mesh. Both processes must
-    produce the same finite losses (identical global program)."""
-    port = _free_port()
-    script = tmp_path / "train_worker.py"
-    script.write_text(TRAIN_WORKER.format(repo=REPO, port=port))
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(i)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
+    produce the same finite losses (identical global program).
+
+    Gloo's cross-process rendezvous has a fixed ~30s deadline; on this
+    1-CPU box a concurrent heavy job (e.g. a full-size TPU training run's
+    host thread) can starve the init past it. That's machine load, not a
+    product defect — retry once on that specific signature."""
+    last_outs = None
+    for attempt in range(2):
+        port = _free_port()
+        script = tmp_path / f"train_worker_{attempt}.py"
+        script.write_text(TRAIN_WORKER.format(repo=REPO, port=port))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        last_outs = list(zip(procs, outs))
+        infra_flake = any(
+            p.returncode != 0
+            and ("Gloo context initialization failed" in out
+                 or "DEADLINE_EXCEEDED" in out)
+            for p, out in last_outs
         )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+        if not infra_flake:
+            break
     lines = []
-    for i, (p, out) in enumerate(zip(procs, outs)):
+    for i, (p, out) in enumerate(last_outs):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         line = [ln for ln in out.splitlines() if "trainstep ok" in ln]
         assert line, out[-2000:]
