@@ -70,21 +70,54 @@ def run_lib(tmp_path, plan: str, epochs: int, pre=None):
         STUB_PLAN=str(plan_file),
         STALL_TIMEOUT="3600",
     )
+    # generous timeout: this 1-CPU box often runs the suite alongside a
+    # TPU training host thread; each stub invocation spawns several
+    # `python` startups that crawl under that contention
     return subprocess.run(
-        ["bash", str(driver)], env=env, capture_output=True, text=True, timeout=120
+        ["bash", str(driver)], env=env, capture_output=True, text=True, timeout=600
     ), work / "out" / "tphase"
 
 
 def test_transient_retry_then_complete(tmp_path):
-    # bootstrap saves epoch 0; first main run makes progress (13 lines) but
-    # dies rc=1 -> transient retry; second main run saves the target epoch
-    # and exits 0 -> phase completes
-    plan = "0 0 0\n13 - 1\n11 2 0\n"
+    # bootstrap saves epoch 0; first main run makes one epoch of log progress
+    # (11 lines) but dies rc=1 with no new checkpoint -> bounded soft retry;
+    # second main run saves the target epoch and exits 0 -> phase completes
+    plan = "0 0 0\n11 - 1\n11 2 0\n"
     r, phase_dir = run_lib(tmp_path, plan, epochs=2)
     assert "DRIVER_OK" in r.stdout, (r.stdout, r.stderr)
-    assert "transient failure (rc=1) after progress" in r.stdout
+    assert "after log progress, no new checkpoint (soft strike 1/6)" in r.stdout
     assert (phase_dir / "PHASE_DONE").exists()
     assert json.loads((phase_dir / "trainer_meta.json").read_text())["epoch"] == 2
+
+
+def test_checkpoint_progress_resets_soft_strikes(tmp_path):
+    # failures that DID advance a checkpoint reset both budgets: alternate
+    # save-then-die (checkpoint progress) with log-only-then-die five times —
+    # more total failures than either cap, but never consecutive — then finish
+    plan = "0 0 0\n" + "".join(
+        # soft strike, then durable progress to epoch k (reset)
+        f"11 - 1\n12 {k} 1\n" for k in range(1, 6)
+    ) + "11 9 0\n"
+    r, phase_dir = run_lib(tmp_path, plan, epochs=9)
+    assert "DRIVER_OK" in r.stdout, (r.stdout, r.stderr)
+    assert "after checkpoint progress" in r.stdout
+    assert "soft strike 2/6" not in r.stdout
+    assert (phase_dir / "PHASE_DONE").exists()
+
+
+def test_soft_strikes_bound_deterministic_crash_loop(tmp_path):
+    # a deterministic crash that replays >= one epoch of log lines every
+    # retry but never advances a checkpoint must abort (bounded at 6), not
+    # crash-loop forever
+    plan = "0 0 0\n" + "20 - 1\n" * 10
+    r, phase_dir = run_lib(tmp_path, plan, epochs=5)
+    assert r.returncode == 1, (r.stdout, r.stderr)
+    assert "soft strike 6/6" in r.stdout
+    assert "repeated failures without checkpoint advance" in r.stdout
+    assert not (phase_dir / "PHASE_DONE").exists()
+    # exactly bootstrap + 6 soft-strike invocations ran
+    count = (phase_dir.parent.parent / "plan.txt.count").read_text()
+    assert count == "7", count
 
 
 def test_no_progress_strikes_out(tmp_path):

@@ -113,7 +113,18 @@ run_phase () {
   fi
   local target
   target=$(cat "${dir}/PHASE_TARGET")
+  # Two failure budgets:
+  #  - strikes: consecutive failures with no visible progress at all
+  #    (< one epoch of new log lines) -> genuinely broken config, abort at 3.
+  #  - soft_strikes: consecutive failures that logged >= one epoch but never
+  #    advanced a durable checkpoint (done_epochs). Log lines alone are NOT
+  #    durable progress: a deterministic crash a few epochs past the resume
+  #    point replays the same window every retry, and a log-lines-only gate
+  #    would reset strikes forever and crash-loop unattended. Bounded at 6
+  #    (checkpoints land every val_interval epochs, so several mid-window
+  #    transient relay drops are tolerated before we conclude it's a loop).
   strikes=0
+  local soft_strikes=0 done_before done_after
   while true; do
     local done rem
     done=$(done_epochs "${dir}")
@@ -121,6 +132,7 @@ run_phase () {
     if [ "${rem}" -le 0 ]; then break; fi
     echo "--- phase ${name}: ${done}/${target} epochs checkpointed, running ${rem} more ---"
     lines_before=$(_log_lines "${dir}")
+    done_before=${done}
     set +e
     _train_with_stall_guard "${dir}" ${COMMON} "$@" \
       --load_model --checkpoints_dir "${dir}" \
@@ -131,19 +143,30 @@ run_phase () {
       break
     elif [ "${rc}" -eq 75 ]; then
       echo "--- watchdog restart (host RSS cap) ---"
+      strikes=0; soft_strikes=0
+      continue
+    fi
+    lines_after=$(_log_lines "${dir}")
+    done_after=$(done_epochs "${dir}")
+    if [ "${done_after}" -gt "${done_before}" ]; then
+      # durable progress: a newer checkpoint exists; the retry resumes past it
+      echo "--- transient failure (rc=${rc}) after checkpoint progress; restarting ---"
+      strikes=0; soft_strikes=0
+    elif [ $(( lines_after - lines_before )) -ge 11 ]; then
+      # >= one epoch of log output (11 lines/epoch at the flagship recipes'
+      # 22-image/batch-2 shape) but no new checkpoint: likely a transient
+      # relay drop inside the val_interval window -- retry, bounded
+      soft_strikes=$((soft_strikes + 1))
       strikes=0
-    else
-      lines_after=$(_log_lines "${dir}")
-      if [ $(( lines_after - lines_before )) -ge 13 ]; then
-        # made >= one epoch of progress before dying: transient (relay
-        # stall/drop); resume from the newest checkpoint
-        echo "--- transient failure (rc=${rc}) after progress; restarting ---"
-        strikes=0
-      else
-        strikes=$((strikes + 1))
-        echo "--- failure with no progress (rc=${rc}, strike ${strikes}/3) ---"
-        if [ "${strikes}" -ge 3 ]; then exit "${rc}"; fi
+      echo "--- transient failure (rc=${rc}) after log progress, no new checkpoint (soft strike ${soft_strikes}/6) ---"
+      if [ "${soft_strikes}" -ge 6 ]; then
+        echo "--- repeated failures without checkpoint advance; aborting ---"
+        exit "${rc}"
       fi
+    else
+      strikes=$((strikes + 1))
+      echo "--- failure with no progress (rc=${rc}, strike ${strikes}/3) ---"
+      if [ "${strikes}" -ge 3 ]; then exit "${rc}"; fi
     fi
   done
   touch "${dir}/PHASE_DONE"
