@@ -27,7 +27,11 @@ cd "$(dirname "$0")/.."
 
 ROOT=${ROOT:-datasets/cityscapes_split}
 OUT=${OUT:-artifacts/flagship_r3_compressed}
-WARM=${WARM:-artifacts/flagship_r3/phase3}
+# default warm source: the newest trained flagship checkpoint still on disk
+# (the 128+128 phase3 checkpoints were reclaimed for disk; the 64+64 midrate
+# trunk restores the same way — res blocks by path+shape, heads re-init on
+# the input-channel change)
+WARM=${WARM:-artifacts/flagship_r3_midrate/phaseB}
 PA=${PA:-400}
 PB=${PB:-300}
 VAL_INT=${VAL_INT:-25}
