@@ -215,7 +215,27 @@ class _FastTrunk:
     def front(self, w: Dict, x: jax.Array) -> jax.Array:
         """fine input -> normal-domain tensor after down0 (H/2, W/2, C1)."""
         x = x.astype(self.dtype)
-        xp = space_to_depth(reflect_pad(x, 3))
+        # One-pass entry into the s2d domain (ops/pallas/realign.py
+        # s2d_pad3_pallas, the front-side sibling of the back-stage grid
+        # re-alignment): pad3 + s2d in a single read+write instead of XLA's
+        # pad copy + relayout. Off by default until A/B-measured on the
+        # chip (tools/bench_front_s2d.py) per the measured-defaults
+        # convention; JPDSE_FRONT_REALIGN=pallas enables. Same mesh caveat
+        # as the back kernel: pallas_call has no GSPMD partitioning rule,
+        # so sharded runs keep the jnp composition.
+        how = os.environ.get("JPDSE_FRONT_REALIGN", "0")
+        if how in ("auto", "pallas") and not self.sharded:
+            from jpdse_tpu.ops.pallas.realign import pallas_realign_supported
+
+            how = "pallas" if pallas_realign_supported() else "0"
+        else:
+            how = "0"
+        if how == "pallas":
+            from jpdse_tpu.ops.pallas.realign import s2d_pad3_pallas
+
+            xp = s2d_pad3_pallas(x)
+        else:
+            xp = space_to_depth(reflect_pad(x, 3))
         if self.head_fold == "w":
             xp = fold_w_taps(xp, self.head_kp)
         elif self.head_fold == "hw":

@@ -64,7 +64,7 @@ def _reflect_fine(m, n_fine):
     return jnp.where(m > n_fine - 1, 2 * (n_fine - 1) - m, m)
 
 
-def s2d_realign_pad3_pallas(y: jax.Array) -> jax.Array:
+def s2d_realign_pad3_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
     """(B, hs, ws, 4C) s2d tensor -> (B, hs+3, ws+3, 4C), equal to
     ``space_to_depth(reflect_pad(depth_to_space(y), 3))`` bit-for-bit."""
     bsz, hs, ws, c4 = y.shape
@@ -87,4 +87,75 @@ def s2d_realign_pad3_pallas(y: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((1, 1, ws + 3, c4), lambda bi, j: (bi, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, hs + 3, ws + 3, c4), y.dtype),
+        interpret=interpret,
     )(y, y)
+
+
+def _front_kernel(xa_ref, xb_ref, o_ref):
+    # xa: fine input row for the pu=0 output taps (fine row 2j-3 reflected)
+    # xb: fine input row for the pu=1 output taps (fine row 2j-2 reflected)
+    w = xa_ref.shape[2]
+    ws = w // 2
+    c = xa_ref.shape[3]
+
+    def split(x):  # (W, C) -> even / odd fine-column subsequences (ws, C)
+        x3 = x.reshape(ws, 2, c)
+        return x3[:, 0, :], x3[:, 1, :]
+
+    a_even, a_odd = split(xa_ref[0, 0])
+    b_even, b_odd = split(xb_ref[0, 0])
+
+    # same boundary patterns as the back-stage kernel: the pv=0 output taps
+    # read the odd fine columns (cols [1, 0] + all + [ws-2]) and the pv=1
+    # taps the even fine columns (cols [1] + all + [ws-1, ws-2])
+    def cols_even(x):
+        return jnp.concatenate(
+            [x[1:2], x[0:1], x, x[ws - 2 : ws - 1]], axis=0)
+
+    def cols_odd(x):
+        return jnp.concatenate(
+            [x[1:2], x, x[ws - 1 : ws], x[ws - 2 : ws - 1]], axis=0)
+
+    o_ref[0, 0] = jnp.concatenate(
+        [
+            cols_even(a_odd),   # (pu0,pv0) <- fine (2j-3, 2k-3)
+            cols_odd(a_even),   # (pu0,pv1) <- fine (2j-3, 2k-2)
+            cols_even(b_odd),   # (pu1,pv0) <- fine (2j-2, 2k-3)
+            cols_odd(b_even),   # (pu1,pv1) <- fine (2j-2, 2k-2)
+        ],
+        axis=1,
+    )
+
+
+def s2d_pad3_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """(B, H, W, C) normal-domain tensor -> (B, H/2+3, W/2+3, 4C), equal to
+    ``space_to_depth(reflect_pad(x, 3))`` bit-for-bit.
+
+    The fast trunks' FRONT stages enter the s2d domain through exactly that
+    composition (models/fast_codec.py front); XLA lowers it as two
+    full-tensor HBM round trips (pad copy + relayout). This kernel reads
+    each fine input row once and writes each padded s2d output row once —
+    the front-side sibling of the back-stage grid re-alignment above."""
+    bsz, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0 and h >= 4 and w >= 4
+
+    def row_a(bi, j):  # fine source row for the pu=0 taps
+        return (bi, _reflect_fine(2 * j - 3, h), 0, 0)
+
+    def row_b(bi, j):  # fine source row for the pu=1 taps
+        return (bi, _reflect_fine(2 * j - 2, h), 0, 0)
+
+    hs, ws = h // 2, w // 2
+    return pl.pallas_call(
+        _front_kernel,
+        grid=(bsz, hs + 3),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, c), row_a),
+            pl.BlockSpec((1, 1, w, c), row_b),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ws + 3, 4 * c), lambda bi, j: (bi, j, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hs + 3, ws + 3, 4 * c), x.dtype),
+        interpret=interpret,
+    )(x, x)

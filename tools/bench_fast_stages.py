@@ -204,6 +204,18 @@ def main():
 
     # raw re-layouts
     rec("s2d_fine_input", lambda w_, x: S.space_to_depth(x), x_fine)
+    from jpdse_tpu.models.layers import reflect_pad as _rp
+
+    rec("pad3+s2d_fine_input", lambda w_, x: S.space_to_depth(_rp(x, 3)),
+        x_fine)
+    try:
+        from jpdse_tpu.ops.pallas.realign import (
+            pallas_realign_supported, s2d_pad3_pallas)
+
+        if pallas_realign_supported():
+            rec("pad3+s2d_pallas", lambda w_, x: s2d_pad3_pallas(x), x_fine)
+    except Exception as e:  # record, don't abort the sweep
+        print(f"pad3+s2d_pallas failed: {e}", flush=True)
     y_s2d256 = jnp.asarray(
         rng.normal(size=(B, H // 2, W // 2, 4 * ngf)).astype(np.float32), DTYPE
     )
