@@ -152,7 +152,13 @@ def maybe_device_cache(
         return decline(
             f"dataset ~{est / 1024**3:.2f}GB exceeds the {max_gb}GB HBM budget"
         )
-    cache = DeviceDatasetCache(dataset, cfg)
+    try:
+        cache = DeviceDatasetCache(dataset, cfg)
+    except ValueError as e:
+        # e.g. preprocess_mode 'none' keeps per-image sizes, so a
+        # variable-size folder dataset cannot be stacked into one device
+        # array — fall back to host batches instead of killing the run
+        return decline(f"samples are not stackable ({e})")
     print(
         f"device_cache: {n} samples ({cache.nbytes / 1024**2:.0f}MB) resident "
         f"on device; per-step H2D reduced to (index, flip)"

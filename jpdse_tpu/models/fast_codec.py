@@ -219,7 +219,8 @@ class _FastTrunk:
         # s2d_pad3_pallas, the front-side sibling of the back-stage grid
         # re-alignment): pad3 + s2d in a single read+write instead of XLA's
         # pad copy + relayout. Off by default until A/B-measured on the
-        # chip (tools/bench_front_s2d.py) per the measured-defaults
+        # chip (tools/bench_fast_stages.py: "pad3+s2d_pallas" micro stage +
+        # --fronts-only with the env toggle) per the measured-defaults
         # convention; JPDSE_FRONT_REALIGN=pallas enables. Same mesh caveat
         # as the back kernel: pallas_call has no GSPMD partitioning rule,
         # so sharded runs keep the jnp composition.

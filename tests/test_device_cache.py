@@ -102,6 +102,23 @@ def test_compressed_device_batches_bit_identical(tmp_path):
                 )
 
 
+def test_unstackable_dataset_declines(monkeypatch, capsys):
+    """Variable-size datasets (preprocess 'none' over a mixed-size folder)
+    cannot be stacked into one device array; the cache must decline to the
+    host path instead of killing train.py at startup."""
+    import jpdse_tpu.data.device_cache as dc
+
+    cfg = train_cfg(n=2)
+    loader = create_dataloader(cfg)
+
+    def boom(self, dataset, cfg):
+        raise ValueError("all input arrays must have the same shape")
+
+    monkeypatch.setattr(dc.DeviceDatasetCache, "__init__", boom)
+    assert dc.maybe_device_cache(loader, cfg) is None
+    assert "not stackable" in capsys.readouterr().out
+
+
 TINY = (
     "--dataset cityscapes --root_dir {root} --model pix2pixHD "
     "--no_label_encoding --no_feat_encoding --no_generator_binarization "

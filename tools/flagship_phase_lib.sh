@@ -152,10 +152,12 @@ run_phase () {
       # durable progress: a newer checkpoint exists; the retry resumes past it
       echo "--- transient failure (rc=${rc}) after checkpoint progress; restarting ---"
       strikes=0; soft_strikes=0
-    elif [ $(( lines_after - lines_before )) -ge 11 ]; then
-      # >= one epoch of log output (11 lines/epoch at the flagship recipes'
-      # 22-image/batch-2 shape) but no new checkpoint: likely a transient
-      # relay drop inside the val_interval window -- retry, bounded
+    elif [ $(( lines_after - lines_before )) -ge "${LINES_PER_EPOCH:-11}" ]; then
+      # >= one epoch of log output (LINES_PER_EPOCH; default 11 = the
+      # flagship recipes' 22-image/batch-2 shape — recipes with a different
+      # steps-per-epoch count must export their own) but no new checkpoint:
+      # likely a transient relay drop inside the val_interval window --
+      # retry, bounded
       soft_strikes=$((soft_strikes + 1))
       strikes=0
       echo "--- transient failure (rc=${rc}) after log progress, no new checkpoint (soft strike ${soft_strikes}/6) ---"

@@ -55,9 +55,11 @@ def main():
         ebpp = (
             f"{r['eval_total_bpp']:.3f}" if r["eval_total_bpp"] is not None else "—"
         )
+        psnr = f"{r['psnr']:.2f}" if r["psnr"] is not None else "—"
+        ms = f"{r['msssim']:.4f}" if r["msssim"] is not None else "—"
         print(
             f"| {r['run']} {r['phase']} (n={r['n']}) | {bpp} | {ebpp} "
-            f"| {r['psnr']:.2f} | {r['msssim']:.4f} |"
+            f"| {psnr} | {ms} |"
         )
 
 

@@ -242,6 +242,7 @@ def main():
             # every process reaches this deterministically, so the Orbax
             # save barriers line up under multi-host too
             trainer.save_latest(epoch)
+            saved_this_epoch = True
 
         if (
             cfg.optim.max_host_rss_gb
@@ -255,14 +256,18 @@ def main():
             # (data/device_cache.py docstring); for configs the device cache
             # can't cover, chunk the run: save the exact state and exit 75
             # so a wrapper loop restarts the process, which resumes from
-            # save_dir/latest losslessly (trainer.load prefers it).
+            # save_dir/latest losslessly (trainer.load prefers it). Skip the
+            # save when this epoch already wrote one (best-val or
+            # latest_interval): either serves as the resume point, and a
+            # full-state save costs ~70-80s through the relay.
             log(
                 f"host RSS {host_rss_gb():.1f}GB > --max_host_rss_gb "
                 f"{cfg.optim.max_host_rss_gb}; saving latest state and "
                 f"exiting 75 for a wrapper restart",
                 log_file,
             )
-            trainer.save_latest(epoch)
+            if not saved_this_epoch:
+                trainer.save_latest(epoch)
             raise SystemExit(75)
 
     if jax.process_count() > 1:
