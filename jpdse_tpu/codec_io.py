@@ -95,10 +95,14 @@ def encode_idmap_png(arr: np.ndarray) -> bytes:
     if arr.dtype != np.uint8:
         if arr.min() < 0 or arr.max() > 0xFFFF:
             raise ValueError(f"id map out of uint16 range [{arr.min()}, {arr.max()}]")
-        arr = arr.astype(np.uint16)
-        img = Image.fromarray(arr, mode="I;16")
-    else:
+        # pick the narrowest lossless width — callers pass raw int maps
+        # (pre-casting to uint8 would silently wrap ids > 255 and bypass
+        # this guard, e.g. >255-class label sets)
+        arr = arr.astype(np.uint8 if arr.max() <= 0xFF else np.uint16)
+    if arr.dtype == np.uint8:
         img = Image.fromarray(arr, mode="L")
+    else:
+        img = Image.fromarray(arr, mode="I;16")
     buf = io.BytesIO()
     img.save(buf, format="PNG", optimize=True)
     return buf.getvalue()
@@ -182,7 +186,8 @@ def pack(
         )
         out += struct.pack("<B", flags)
         if side.label is not None:
-            png = encode_idmap_png(np.asarray(side.label).astype(np.uint8))
+            # raw ids: encode_idmap_png picks uint8 vs uint16 losslessly
+            png = encode_idmap_png(np.asarray(side.label))
             out += struct.pack("<I", len(png)) + png
         if side.instance is not None:
             png = encode_idmap_png(np.asarray(side.instance))
@@ -245,7 +250,8 @@ def unpack_full(data: bytes) -> Bitstream:
         (flags,) = struct.unpack("<B", take(1))
         if flags & 1:
             (n,) = struct.unpack("<I", take(4))
-            side.label = decode_idmap_png(take(n)).astype(np.uint8)
+            # int32 regardless of the PNG's storage width (uint8 or uint16)
+            side.label = decode_idmap_png(take(n)).astype(np.int32)
         if flags & 2:
             (n,) = struct.unpack("<I", take(4))
             side.instance = decode_idmap_png(take(n)).astype(np.int32)

@@ -305,9 +305,11 @@ class Config:
     load_model: bool = False
     do_not_get_codes: bool = False
     display_winsize: int = 512
-    # cap the number of reconstructions dumped to the HTML gallery per
-    # save (None = all val images). On the TPU relay a device->host image
-    # fetch runs ~1 min (100KB/s); capping keeps best-val saves cheap.
+    # cap the number of reconstruction IMAGES dumped to the HTML gallery
+    # per save (None = reference behavior: every image of the val pass,
+    # itself capped at 30 batches — reference train.py:16,129-147). On the
+    # TPU relay a device->host image fetch runs ~1 min (100KB/s); capping
+    # keeps best-val saves cheap.
     max_recon_dump: Optional[int] = None
     tf_log: bool = False  # kept for CLI parity; logging is always-on here
     profile_dir: Optional[str] = None  # jax.profiler trace output (xprof)

@@ -66,7 +66,10 @@ class DataLoader:
 
     def _n_local(self) -> int:
         n = len(self.dataset)
-        return len(range(self.rank, n, self.world))
+        if self.world > 1:
+            # padded so every rank sees the same count (see _index_batches)
+            return -(-n // self.world)
+        return n
 
     def __len__(self) -> int:
         n = self._n_local()
@@ -83,6 +86,15 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
         if self.world > 1:
+            # Equalize per-rank counts BEFORE striding: every process must
+            # run the same number of jitted train steps or the 'dcn'
+            # gradient psum deadlocks when the short ranks move on (e.g.
+            # 30 images on 4 hosts -> 8,8,7,7 local samples). Pad the
+            # permutation by wrapping (torch DistributedSampler semantics)
+            # so each rank gets exactly ceil(n/world) samples.
+            pad = (-len(idx)) % self.world
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
             idx = idx[self.rank :: self.world]
         batches = [
             list(idx[i : i + self.batch_size])

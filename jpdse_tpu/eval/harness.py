@@ -96,9 +96,10 @@ def evaluate(
             nbytes = 0
             for j in range(batch["image"].shape[0]):
                 if need_label_side and "label" in batch:
+                    # raw ids — encode_idmap_png picks the lossless width
                     nbytes += len(
                         encode_idmap_png(
-                            np.asarray(batch["label"][j]).astype(np.uint8)
+                            np.asarray(batch["label"][j]).astype(np.int32)
                         )
                     )
                 if need_inst_side and "instance" in batch:
@@ -191,8 +192,14 @@ def evaluate(
     learned = avgs.get("coded_bpp")
     if learned is None:
         learned = avgs.get("actual_bpp", 0.0) if get_codes else 0.0
-    avgs["total_bpp"] = learned + avgs.get("sem_side_bpp", 0.0)
-    if need_base_side:
-        avgs["total_bpp"] += avgs.get("base_codec_bpp", 0.0)
+    if cfg.has_binary_codes and not get_codes:
+        # --do_not_get_codes on a binarized config: the learned-code rate
+        # was never measured, so a numeric total would silently under-report
+        # what a receiver needs — report "not measured", like a failed coder
+        avgs["total_bpp"] = None
+    else:
+        avgs["total_bpp"] = learned + avgs.get("sem_side_bpp", 0.0)
+        if need_base_side:
+            avgs["total_bpp"] += avgs.get("base_codec_bpp", 0.0)
     avgs["n_images"] = n_images
     return avgs

@@ -565,19 +565,14 @@ class FastCodec:
         side_inputs = None
         if side_batch is not None:
             if side_batch.get("label") is None:
-                # semantics ride in the codes; only visuals come from side
-                # (instance ids without a label can't reach FastCodec — that
-                # needs inst_wise_pool, rejected in __init__ — but keep the
-                # condition in lockstep with train/step.py side_inputs_from)
-                dt = self.netG.dtype
-                comp = side_batch.get("compressed")
-                side_inputs = {
-                    "input_label": None,
-                    "real_image": side_batch["image"].astype(dt),
-                    "instance_ids": side_batch.get("instance"),
-                    "masked_img": None,
-                    "compressed_img": comp.astype(dt) if comp is not None else None,
-                }
+                # shared no-label assembly (train/step.py raw_side_inputs):
+                # one definition for both .jpds decoders. (Instance ids
+                # without a label can't reach FastCodec — that needs
+                # inst_wise_pool, rejected in __init__ — the shared helper
+                # passes them through regardless.)
+                from jpdse_tpu.train.step import raw_side_inputs
+
+                side_inputs = raw_side_inputs(side_batch, dtype=self.netG.dtype)
             else:
                 side_inputs = self._inputs(side_batch)
 

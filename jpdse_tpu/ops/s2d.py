@@ -79,12 +79,14 @@ def s2d_realign_pad3(y: jax.Array) -> jax.Array:
             if pu == 0:
                 head, tail = t[:, 1::-1], t[:, hs - 2 : hs - 1]
             else:
-                head, tail = t[:, 1:2], t[:, hs - 1 : hs - 3 : -1]
+                # flip(t[hs-2:hs]) == rows [hs-1, hs-2]; a negative-step
+                # slice t[hs-1:hs-3:-1] breaks at hs == 2 (stop wraps)
+                head, tail = t[:, 1:2], jnp.flip(t[:, hs - 2 : hs], axis=1)
             t = jnp.concatenate([head, t, tail], axis=1)
             if pv == 0:
                 headw, tailw = t[:, :, 1::-1], t[:, :, ws - 2 : ws - 1]
             else:
-                headw, tailw = t[:, :, 1:2], t[:, :, ws - 1 : ws - 3 : -1]
+                headw, tailw = t[:, :, 1:2], jnp.flip(t[:, :, ws - 2 : ws], axis=2)
             t = jnp.concatenate([headw, t, tailw], axis=2)
             outs.append(t)
     return jnp.concatenate(outs, axis=-1)

@@ -136,15 +136,28 @@ def make_global_batch_flexible(
         arr = np.asarray(v)
         spec = [None] * arr.ndim
         if local_is_shard:
-            if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
-                spec[0] = (DCN_AXIS, DATA_AXIS)
-            if (
-                shard_spatial
-                and arr.ndim >= 3
-                and n_spatial > 1
-                and arr.shape[1] % n_spatial == 0
-            ):
-                spec[1] = SPATIAL_AXIS
+            from jpdse_tpu.parallel.mesh import warn_replicated_once
+
+            if arr.ndim >= 1:
+                if arr.shape[0] % n_data == 0:
+                    spec[0] = (DCN_AXIS, DATA_AXIS)
+                else:
+                    warn_replicated_once(
+                        k, "dcn_data",
+                        f"batch field {k!r}: per-host dim 0 ({arr.shape[0]}) "
+                        f"not divisible by local data axis ({n_data}); "
+                        f"replicating — every device computes the full batch",
+                    )
+            if shard_spatial and arr.ndim >= 3 and n_spatial > 1:
+                if arr.shape[1] % n_spatial == 0:
+                    spec[1] = SPATIAL_AXIS
+                else:
+                    warn_replicated_once(
+                        k, "dcn_spatial",
+                        f"batch field {k!r}: dim 1 ({arr.shape[1]}) not "
+                        f"divisible by spatial axis ({n_spatial}); H stays "
+                        f"unsharded",
+                    )
         sharding = NamedSharding(mesh, P(*spec))
         out[k] = jax.make_array_from_process_local_data(sharding, arr)
     return out

@@ -74,6 +74,18 @@ def mesh_from_config(parallel_cfg, devices=None) -> Optional[Mesh]:
 _warned_replicated: set = set()
 
 
+def warn_replicated_once(key: str, axis: str, msg: str):
+    """One-shot (per key+axis) warning for the silent-replication perf
+    cliff. Shared with distributed.make_global_batch_flexible so both the
+    single-host and multi-host flexible paths surface the degradation."""
+    if (key, axis) in _warned_replicated:
+        return
+    _warned_replicated.add((key, axis))
+    import warnings
+
+    warnings.warn(msg)
+
+
 def shard_batch_flexible(batch: Dict, mesh: Mesh, shard_spatial: bool = True) -> Dict:
     """Place a host batch onto the mesh: B over 'data' when divisible (else
     replicated — e.g. the reference-protocol batch-1 eval), H (axis 1) over
@@ -94,25 +106,21 @@ def shard_batch_flexible(batch: Dict, mesh: Mesh, shard_spatial: bool = True) ->
         if arr.ndim >= 1 and n_data > 1:
             if arr.shape[0] % n_data == 0:
                 spec[0] = DATA_AXIS
-            elif (k, "data") not in _warned_replicated:
-                _warned_replicated.add((k, "data"))
-                import warnings
-
-                warnings.warn(
+            else:
+                warn_replicated_once(
+                    k, "data",
                     f"batch field {k!r}: dim 0 ({arr.shape[0]}) not divisible "
                     f"by data axis ({n_data}); replicating — every device "
-                    f"computes the full batch"
+                    f"computes the full batch",
                 )
         if shard_spatial and arr.ndim >= 3 and n_spatial > 1:
             if arr.shape[1] % n_spatial == 0:
                 spec[1] = SPATIAL_AXIS
-            elif (k, "spatial") not in _warned_replicated:
-                _warned_replicated.add((k, "spatial"))
-                import warnings
-
-                warnings.warn(
+            else:
+                warn_replicated_once(
+                    k, "spatial",
                     f"batch field {k!r}: dim 1 ({arr.shape[1]}) not divisible "
-                    f"by spatial axis ({n_spatial}); H stays unsharded"
+                    f"by spatial axis ({n_spatial}); H stays unsharded",
                 )
         out[k] = jax.device_put(arr, NamedSharding(mesh, P(*spec)))
     return out

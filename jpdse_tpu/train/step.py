@@ -347,6 +347,25 @@ def make_shaped_codes_fn(cfg: Config, codec: SemanticCodec):
     return jax.jit(codes)
 
 
+def raw_side_inputs(side_batch, dtype=None):
+    """The no-label branch of deploy-time side-info assembly: semantics ride
+    in the codes; visuals — and, for an unbinarized encoder with
+    inst_wise_pool, the instance ids its pooling needs
+    (codec_io.side_requirements need_inst without need_label) — come from
+    side info. prepare_inputs would one-hot the missing label, so the dict
+    is assembled directly. SHARED by make_decode_from_codes_fn below and
+    FastCodec.decode_from_codes_fn so the two .jpds decoders cannot drift."""
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    comp = side_batch.get("compressed")
+    return {
+        "input_label": None,
+        "real_image": cast(side_batch["image"]),
+        "instance_ids": side_batch.get("instance"),
+        "masked_img": None,
+        "compressed_img": cast(comp) if comp is not None else None,
+    }
+
+
 def make_decode_from_codes_fn(cfg: Config, codec: SemanticCodec):
     """Deploy-time decoder: (params, mstate, codes, side_batch) -> image,
     from the bitstream content alone (codec_io.py /
@@ -358,18 +377,7 @@ def make_decode_from_codes_fn(cfg: Config, codec: SemanticCodec):
         if side_batch is None:
             return None
         if side_batch.get("label") is None:
-            # semantics ride in the codes; visuals — and, for an unbinarized
-            # encoder with inst_wise_pool, the instance ids its pooling needs
-            # (codec_io.side_requirements need_inst without need_label) —
-            # come from side info. prepare_inputs would one-hot the missing
-            # label here, so assemble the dict directly.
-            return {
-                "input_label": None,
-                "real_image": side_batch["image"],
-                "instance_ids": side_batch.get("instance"),
-                "masked_img": None,
-                "compressed_img": side_batch.get("compressed"),
-            }
+            return raw_side_inputs(side_batch)
         return _inputs_from_batch(cfg, side_batch)
 
     def fn(params_g, mstate_g, codes, side_batch):

@@ -368,7 +368,9 @@ class Trainer:
         def pack_one(j: int) -> bytes:
             side = codec_io.SideInfo()
             if need_label:
-                side.label = np.asarray(batch["label"][j]).astype(np.uint8)
+                # raw ids: encode_idmap_png picks uint8 vs uint16 losslessly
+                # (a uint8 pre-cast would silently wrap >255-class label sets)
+                side.label = np.asarray(batch["label"][j]).astype(np.int32)
             if need_inst:
                 side.instance = np.asarray(batch["instance"][j]).astype(np.int32)
             if need_base:

@@ -67,7 +67,12 @@ def main():
             msg += ", actual entropy-coded bpp unavailable (coder failed)"
     if avgs.get("base_codec_bpp"):
         msg += f", base-codec bpp {avgs['base_codec_bpp']:.4f}"
-    msg += f", total bpp {avgs.get('total_bpp', 0.0):.4f}"
+    if avgs.get("total_bpp") is not None:
+        msg += f", total bpp {avgs['total_bpp']:.4f}"
+    else:
+        # --do_not_get_codes on a binarized config: the learned-code rate
+        # was not measured, so no honest total exists
+        msg += ", total bpp not measured (codes skipped)"
     print(msg)
     if cfg.save_dir:
         with open(os.path.join(cfg.save_dir, "metrics.json"), "w") as f:

@@ -81,6 +81,11 @@ def test_sideinfo_pack_unpack_round_trip(rng):
     assert v1[4] == 1 and data[4] == 2
     bs1 = codec_io.unpack_full(v1)
     assert bs1.side.empty()
+    # >255-class label maps must ride the 16-bit PNG path losslessly (a
+    # uint8 pre-cast would silently wrap id 300 -> 44)
+    wide = rng.integers(0, 1200, (32, 32)).astype(np.int32)
+    d2 = codec_io.pack(codes, (32, 32), codec_io.SideInfo(label=wide))
+    np.testing.assert_array_equal(codec_io.unpack_full(d2).side.label, wide)
 
 
 def _compressed_batch(cfg, batch):

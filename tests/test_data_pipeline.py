@@ -173,3 +173,35 @@ def test_use_compressed_pipeline():
 def test_available_codecs():
     av = available_codecs()
     assert {"jpg", "webp", "j2k"} <= set(av)
+
+
+def test_multihost_rank_batches_equalized():
+    """Every rank must produce the SAME number of train batches or the
+    multi-host gradient psum deadlocks when short ranks finish early (e.g.
+    30 samples on 4 hosts gave 4,4,3,3 batches before the wrap-padding)."""
+    from jpdse_tpu.data.loader import DataLoader
+
+    class _Stub:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+    for n, world, bs in [(30, 4, 2), (5, 2, 2), (7, 3, 1), (8, 8, 2)]:
+        per_rank = []
+        seen = set()
+        for rank in range(world):
+            dl = DataLoader(
+                _Stub(n), batch_size=bs, shuffle=True, drop_last=True,
+                seed=3, rank=rank, world=world,
+            )
+            batches = dl._index_batches()
+            assert len(batches) == len(dl)
+            per_rank.append(len(batches))
+            seen.update(i for b in batches for i in b)
+        assert len(set(per_rank)) == 1, (n, world, bs, per_rank)
+        # wrap-padding duplicates a few samples but drops none (up to
+        # drop_last's final partial batch)
+        n_kept = per_rank[0] * bs * world
+        assert len(seen) >= min(n, n_kept)

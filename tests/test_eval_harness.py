@@ -121,7 +121,10 @@ def test_base_codec_bpp_reaches_eval(tmp_path, rng):
     px = (4 * H) * (4 * W)
     expected = nbytes * 8.0 / px
     assert avgs["base_codec_bpp"] == pytest.approx(expected, rel=1e-6)
-    assert avgs["total_bpp"] == pytest.approx(expected, rel=1e-6)
+    # the config HAS learned binary codes but --do_not_get_codes skipped
+    # measuring them: a numeric total would under-report what a receiver
+    # needs, so the harness reports "not measured" instead
+    assert avgs["total_bpp"] is None
 
 
 @pytest.mark.skipif(not native.available(), reason="native coder unavailable")

@@ -187,7 +187,7 @@ def test_instance_norm_s2d_large_mean_conditioning(monkeypatch):
                                rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("hw", [(8, 12), (16, 10), (64, 128)])
+@pytest.mark.parametrize("hw", [(4, 4), (4, 10), (8, 12), (16, 10), (64, 128)])
 def test_s2d_realign_pad3_bit_exact(rng, hw):
     """The one-pass grid re-alignment (channel-permuted shifted slices)
     equals d2s -> ReflectionPad2d(3) -> s2d element-for-element."""

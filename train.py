@@ -75,10 +75,12 @@ def dump_reconstructions(trainer, val_loader, cfg, gallery, visualizer, is_main=
     """Under multi-host, EVERY process must run this (the jitted decode is a
     collective over the global mesh); only the main process writes files."""
     print("\nsaving reconstructed val images...\n")
-    limit = cfg.max_recon_dump if cfg.max_recon_dump is not None else MAX_VAL_SIZE
+    # None = the reference's behavior: dump every image of the (<=30-batch)
+    # val pass, reference train.py:129-147; an int caps dumped IMAGES
+    limit = cfg.max_recon_dump
     n_dumped = 0
     for i, batch in enumerate(val_loader):
-        if i == MAX_VAL_SIZE or n_dumped >= limit:
+        if i == MAX_VAL_SIZE or (limit is not None and n_dumped >= limit):
             break
         n_dumped += batch["image"].shape[0]
         recon = trainer.get_img(batch)
