@@ -87,24 +87,23 @@ def evaluate(
             )
 
         # semantics side-info rate: raw-semantics configs ship the label /
-        # instance maps as lossless PNGs in the .jpds container (codec_io) —
-        # count those bytes so total_bpp covers everything a receiver needs
+        # instance maps losslessly coded in the .jpds container — count the
+        # SAME bytes pack() would write (codec_io.encode_idmap: context-
+        # modeled range coder or PNG, whichever is smaller) so total_bpp
+        # covers everything a receiver needs
         if need_label_side or need_inst_side:
-            from jpdse_tpu.codec_io import encode_idmap_png
+            from jpdse_tpu.codec_io import encode_idmap
 
             h, w = batch["image"].shape[1:3]
             nbytes = 0
             for j in range(batch["image"].shape[0]):
                 if need_label_side and "label" in batch:
-                    # raw ids — encode_idmap_png picks the lossless width
                     nbytes += len(
-                        encode_idmap_png(
-                            np.asarray(batch["label"][j]).astype(np.int32)
-                        )
+                        encode_idmap(np.asarray(batch["label"][j]).astype(np.int32))
                     )
                 if need_inst_side and "instance" in batch:
                     nbytes += len(
-                        encode_idmap_png(np.asarray(batch["instance"][j]))
+                        encode_idmap(np.asarray(batch["instance"][j]))
                     )
             totals["sem_side_bpp"] = totals.get("sem_side_bpp", 0.0) + (
                 nbytes * 8.0 / (h * w)

@@ -218,10 +218,13 @@ class _FastTrunk:
         # One-pass entry into the s2d domain (ops/pallas/realign.py
         # s2d_pad3_pallas, the front-side sibling of the back-stage grid
         # re-alignment): pad3 + s2d in a single read+write instead of XLA's
-        # pad copy + relayout. Off by default until A/B-measured on the
-        # chip (tools/bench_fast_stages.py: "pad3+s2d_pallas" micro stage +
-        # --fronts-only with the env toggle) per the measured-defaults
-        # convention; JPDSE_FRONT_REALIGN=pallas enables. Same mesh caveat
+        # pad copy + relayout. MEASURED ON-CHIP: netG fast front 48.1 vs
+        # 20.7 ms at batch 8 — a 2.3x REGRESSION, default off (PERF.md
+        # negative ledger): unlike the back stage's three passes, the
+        # front's reflect-pad is fused by XLA into the following conv's
+        # input pipeline, and the Pallas call breaks that producer fusion.
+        # JPDSE_FRONT_REALIGN=pallas re-enables for re-measurement
+        # (tools/bench_fast_stages.py --fronts-only). Same mesh caveat
         # as the back kernel: pallas_call has no GSPMD partitioning rule,
         # so sharded runs keep the jnp composition.
         how = os.environ.get("JPDSE_FRONT_REALIGN", "0")

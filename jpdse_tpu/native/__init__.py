@@ -59,6 +59,16 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.jpdse_idmap_encode.restype = ctypes.c_int64
+    lib.jpdse_idmap_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_idmap_decode.restype = ctypes.c_int64
+    lib.jpdse_idmap_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+    ]
     lib.jpdse_heif_available.restype = ctypes.c_int
     lib.jpdse_heif_encode.restype = ctypes.c_int64
     lib.jpdse_heif_encode.argtypes = [
@@ -143,6 +153,38 @@ def entropy_decode(
         bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_bits,
     )
     return bits
+
+
+def idmap_encode(ids: np.ndarray) -> bytes:
+    """Losslessly encode an (H, W) int32 id map with the context-modeled
+    range coder (idmap_coder.cpp) — built for piecewise-constant semantic /
+    instance maps, typically 2-4x smaller than optimized PNG on them."""
+    lib = load()
+    a = np.ascontiguousarray(ids, dtype=np.int32)
+    if a.ndim != 2:
+        raise ValueError(f"expected (H, W) id map, got shape {a.shape}")
+    h, w = a.shape
+    cap = a.size * 5 + 4096  # worst case: every pixel a literal
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.jpdse_idmap_encode(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if size < 0:
+        raise RuntimeError("idmap coder overflow")
+    return out[:size].tobytes()
+
+
+def idmap_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    """Decode an idmap_encode bitstream back to its (h, w) int32 map."""
+    lib = load()
+    src = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    out = np.empty((h, w), dtype=np.int32)
+    lib.jpdse_idmap_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

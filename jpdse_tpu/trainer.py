@@ -368,7 +368,7 @@ class Trainer:
         def pack_one(j: int) -> bytes:
             side = codec_io.SideInfo()
             if need_label:
-                # raw ids: encode_idmap_png picks uint8 vs uint16 losslessly
+                # raw ids: codec_io.encode_idmap codes them losslessly
                 # (a uint8 pre-cast would silently wrap >255-class label sets)
                 side.label = np.asarray(batch["label"][j]).astype(np.int32)
             if need_inst:

@@ -281,3 +281,25 @@ class TestBitstreamRobustness:
         assert hw == (32, 64)
         for c, o in zip(codes, out):
             np.testing.assert_array_equal(o[0], c.astype(np.float32))
+
+
+def test_idmap_container_sniffing(rng):
+    """pack() picks the smaller id-map container per map; unpack decodes
+    both by magic. Piecewise-constant maps ride the IDRC range coder,
+    incompressible noise falls back to PNG — and either way the receiver
+    gets the exact ids back."""
+    from jpdse_tpu import native
+
+    coarse = rng.integers(0, 35, (16, 32))
+    blocky = np.repeat(np.repeat(coarse, 16, 0), 16, 1).astype(np.int32)
+    noisy = rng.integers(0, 256, blocky.shape).astype(np.int32)
+    for arr in (blocky, noisy):
+        data = codec_io.pack([], arr.shape, codec_io.SideInfo(label=arr))
+        got = codec_io.unpack_full(data).side.label
+        np.testing.assert_array_equal(got, arr)
+        assert got.dtype == np.int32
+    if native.available():
+        enc = codec_io.encode_idmap(blocky)
+        assert enc[:4] == codec_io.IDRC_MAGIC
+        # the chooser never loses to PNG
+        assert len(enc) <= len(codec_io.encode_idmap_png(blocky))

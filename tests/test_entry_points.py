@@ -240,8 +240,8 @@ def test_phase2_compress_decompress_cli(tmp_path):
     # every byte accounted: sections sum to the file size (+fixed header)
     total_side = (
         len(bs.side.base_payloads[0])
-        + len(codec_io.encode_idmap_png(bs.side.label))
-        + len(codec_io.encode_idmap_png(bs.side.instance))
+        + len(codec_io.encode_idmap(bs.side.label))
+        + len(codec_io.encode_idmap(bs.side.instance))
     )
     assert total_side < len(jpds[0].read_bytes()) <= total_side + 64
 
