@@ -97,13 +97,15 @@ def evaluate(
             h, w = batch["image"].shape[1:3]
             nbytes = 0
             for j in range(batch["image"].shape[0]):
+                label_j = None
                 if need_label_side and "label" in batch:
-                    nbytes += len(
-                        encode_idmap(np.asarray(batch["label"][j]).astype(np.int32))
-                    )
+                    label_j = np.asarray(batch["label"][j]).astype(np.int32)
+                    nbytes += len(encode_idmap(label_j))
                 if need_inst_side and "instance" in batch:
+                    # mirror pack(): instance coded conditionally on the
+                    # label map when it rides the same stream
                     nbytes += len(
-                        encode_idmap(np.asarray(batch["instance"][j]))
+                        encode_idmap(np.asarray(batch["instance"][j]), cond=label_j)
                     )
             totals["sem_side_bpp"] = totals.get("sem_side_bpp", 0.0) + (
                 nbytes * 8.0 / (h * w)

@@ -69,6 +69,18 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.jpdse_idmap_encode_cond.restype = ctypes.c_int64
+    lib.jpdse_idmap_encode_cond.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_idmap_decode_cond.restype = ctypes.c_int64
+    lib.jpdse_idmap_decode_cond.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
     lib.jpdse_heif_available.restype = ctypes.c_int
     lib.jpdse_heif_encode.restype = ctypes.c_int64
     lib.jpdse_heif_encode.argtypes = [
@@ -155,10 +167,17 @@ def entropy_decode(
     return bits
 
 
-def idmap_encode(ids: np.ndarray) -> bytes:
+def idmap_encode(ids: np.ndarray, cond: Optional[np.ndarray] = None) -> bytes:
     """Losslessly encode an (H, W) int32 id map with the context-modeled
     range coder (idmap_coder.cpp) — built for piecewise-constant semantic /
-    instance maps, typically 2-4x smaller than optimized PNG on them."""
+    instance maps, typically 2-4x smaller than optimized PNG on them.
+
+    With ``cond`` (an (H, W) int32 map already known to both sides, e.g. the
+    label map when coding the instance map), each neighbor-match bit is
+    additionally conditioned on whether the cond map agrees across that
+    neighbor edge — on Cityscapes instance ids this cuts the rate ~3-5x
+    because instance boundaries almost coincide with label boundaries.
+    Conditional bitstreams require the same cond at decode."""
     lib = load()
     a = np.ascontiguousarray(ids, dtype=np.int32)
     if a.ndim != 2:
@@ -166,24 +185,47 @@ def idmap_encode(ids: np.ndarray) -> bytes:
     h, w = a.shape
     cap = a.size * 5 + 4096  # worst case: every pixel a literal
     out = np.empty(cap, dtype=np.uint8)
-    size = lib.jpdse_idmap_encode(
-        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-    )
+    if cond is not None:
+        c = np.ascontiguousarray(cond, dtype=np.int32)
+        if c.shape != a.shape:
+            raise ValueError(f"cond shape {c.shape} != id map shape {a.shape}")
+        size = lib.jpdse_idmap_encode_cond(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+    else:
+        size = lib.jpdse_idmap_encode(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
     if size < 0:
         raise RuntimeError("idmap coder overflow")
     return out[:size].tobytes()
 
 
-def idmap_decode(data: bytes, h: int, w: int) -> np.ndarray:
-    """Decode an idmap_encode bitstream back to its (h, w) int32 map."""
+def idmap_decode(
+    data: bytes, h: int, w: int, cond: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Decode an idmap_encode bitstream back to its (h, w) int32 map. A
+    stream encoded with ``cond`` must be decoded with the identical cond."""
     lib = load()
     src = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
     out = np.empty((h, w), dtype=np.int32)
-    lib.jpdse_idmap_decode(
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
-    )
+    if cond is not None:
+        c = np.ascontiguousarray(cond, dtype=np.int32)
+        if c.shape != (h, w):
+            raise ValueError(f"cond shape {c.shape} != ({h}, {w})")
+        lib.jpdse_idmap_decode_cond(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+        )
+    else:
+        lib.jpdse_idmap_decode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+        )
     return out
 
 

@@ -241,7 +241,7 @@ def test_phase2_compress_decompress_cli(tmp_path):
     total_side = (
         len(bs.side.base_payloads[0])
         + len(codec_io.encode_idmap(bs.side.label))
-        + len(codec_io.encode_idmap(bs.side.instance))
+        + len(codec_io.encode_idmap(bs.side.instance, cond=bs.side.label))
     )
     assert total_side < len(jpds[0].read_bytes()) <= total_side + 64
 
