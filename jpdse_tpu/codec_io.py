@@ -19,11 +19,18 @@ configurations deployable too (its flagship recipe rides raw one-hot
 semantics + BPG-compressed visuals, scripts/pix2pixHD_bpg_train.sh:5-7, and
 its test.py:98-110 dump was undecodable for them):
 
-    [u8 flags]                    bit0 label, bit1 instance, bit2 base codec
+    [u8 flags]                    bit0 label blob, bit1 instance blob,
+                                  bit2 base codec, bit3 label DERIVED from
+                                  instance (Cityscapes id convention,
+                                  verified exactly at encode — no label
+                                  section; decoder reconstructs it)
     label:    [u32 len][blob]     lossless id-map container (magic-sniffed:
-    instance: [u32 len][blob]     PNG, or IDRC = context-modeled range coder
+    instance: [u32 len][blob]     PNG, IDRC = context-modeled range coder
                                   from native/idmap_coder.cpp — ~2x smaller
-                                  on real maps; encoder picks the smaller)
+                                  on real maps — or IDRX = the same coder
+                                  conditioned on the label map decoded
+                                  earlier from this stream; encoder picks
+                                  the smallest)
     base:     [u8 ext_len][ext][u8 n_payloads] { [u32 len][bytes] } *
               the base codec's own bitstream(s), one per quality factor
 
@@ -172,6 +179,47 @@ def decode_idmap(data: bytes, cond: Optional[np.ndarray] = None) -> np.ndarray:
     return decode_idmap_png(data).astype(np.int32)
 
 
+def derive_label_from_instance(inst: np.ndarray) -> np.ndarray:
+    """The standard Cityscapes id convention: instance ids of 'thing'
+    classes are label*1000+index, 'stuff' pixels carry the label id itself —
+    so the label map is label = inst >= 1000 ? inst // 1000 : inst. pack()
+    verifies this EXACTLY per image before relying on it (flag bit 3), so
+    datasets with any other convention simply fall back to coding both
+    maps; decode is lossless either way."""
+    inst = np.asarray(inst).astype(np.int32)
+    return np.where(inst >= 1000, inst // 1000, inst).astype(np.int32)
+
+
+def sem_side_blobs(
+    label: Optional[np.ndarray], instance: Optional[np.ndarray]
+) -> Tuple[Optional[bytes], Optional[bytes], bool]:
+    """The semantic side-info sections exactly as pack() writes them:
+    (label_blob, instance_blob, label_derived). When the label map is
+    exactly derivable from the instance map (Cityscapes id convention,
+    verified per image) the label section is dropped entirely — one
+    unconditionally-coded instance map is smaller than label +
+    label-conditioned instance (measured 0.060 vs 0.091 bpp on the bundled
+    1024x512 maps). Otherwise the instance map is coded conditionally on
+    the label map that rides the same stream. The eval harness uses this
+    same helper so reported rate matches deployed bytes."""
+    derived = (
+        label is not None
+        and instance is not None
+        and np.array_equal(
+            derive_label_from_instance(instance),
+            np.asarray(label).astype(np.int32),
+        )
+    )
+    label_blob = None
+    if label is not None and not derived:
+        label_blob = encode_idmap(np.asarray(label))
+    inst_blob = None
+    if instance is not None:
+        cond = None if (label is None or derived) else label
+        inst_blob = encode_idmap(np.asarray(instance), cond=cond)
+    return label_blob, inst_blob, derived
+
+
 def side_requirements(cfg) -> Tuple[bool, bool, bool]:
     """Which side-info sections a configuration needs for a complete
     decodable bitstream: (need_label, need_instance, need_base). Raises for
@@ -237,21 +285,22 @@ def pack(
     out += struct.pack("<I", len(payload))
     out += payload
     if v2:
+        # label/instance sections: derivation-aware + conditionally coded
+        # (sem_side_blobs) — the label section vanishes when the instance
+        # map implies it, else the instance rides conditioned on the label
+        # decoded earlier from this same stream
+        label_blob, inst_blob, derived = sem_side_blobs(side.label, side.instance)
         flags = (
-            (1 if side.label is not None else 0)
-            | (2 if side.instance is not None else 0)
+            (1 if label_blob is not None else 0)
+            | (2 if inst_blob is not None else 0)
             | (4 if side.base_payloads else 0)
+            | (8 if derived else 0)
         )
         out += struct.pack("<B", flags)
-        if side.label is not None:
-            blob = encode_idmap(np.asarray(side.label))
-            out += struct.pack("<I", len(blob)) + blob
-        if side.instance is not None:
-            # the label map is decoded first from this same stream, so it is
-            # available as conditioning at decode — instance boundaries
-            # nearly coincide with label boundaries (~3-5x smaller)
-            blob = encode_idmap(np.asarray(side.instance), cond=side.label)
-            out += struct.pack("<I", len(blob)) + blob
+        if label_blob is not None:
+            out += struct.pack("<I", len(label_blob)) + label_blob
+        if inst_blob is not None:
+            out += struct.pack("<I", len(inst_blob)) + inst_blob
         if side.base_payloads:
             ext = (side.base_ext or "").encode("ascii")
             if not ext:
@@ -315,6 +364,10 @@ def unpack_full(data: bytes) -> Bitstream:
         if flags & 2:
             (n,) = struct.unpack("<I", take(4))
             side.instance = decode_idmap(take(n), cond=side.label)
+        if flags & 8:
+            # label section was dropped at encode because the instance map
+            # implies it (verified exactly there)
+            side.label = derive_label_from_instance(side.instance)
         if flags & 4:
             (n_ext,) = struct.unpack("<B", take(1))
             side.base_ext = take(n_ext).decode("ascii")

@@ -92,21 +92,22 @@ def evaluate(
         # modeled range coder or PNG, whichever is smaller) so total_bpp
         # covers everything a receiver needs
         if need_label_side or need_inst_side:
-            from jpdse_tpu.codec_io import encode_idmap
+            from jpdse_tpu.codec_io import sem_side_blobs
 
             h, w = batch["image"].shape[1:3]
             nbytes = 0
             for j in range(batch["image"].shape[0]):
-                label_j = None
+                label_j = inst_j = None
                 if need_label_side and "label" in batch:
                     label_j = np.asarray(batch["label"][j]).astype(np.int32)
-                    nbytes += len(encode_idmap(label_j))
                 if need_inst_side and "instance" in batch:
-                    # mirror pack(): instance coded conditionally on the
-                    # label map when it rides the same stream
-                    nbytes += len(
-                        encode_idmap(np.asarray(batch["instance"][j]), cond=label_j)
-                    )
+                    inst_j = np.asarray(batch["instance"][j])
+                # the SAME bytes pack() writes (derivation-aware +
+                # conditional coding live in one helper)
+                label_blob, inst_blob, _ = sem_side_blobs(label_j, inst_j)
+                nbytes += (len(label_blob) if label_blob else 0) + (
+                    len(inst_blob) if inst_blob else 0
+                )
             totals["sem_side_bpp"] = totals.get("sem_side_bpp", 0.0) + (
                 nbytes * 8.0 / (h * w)
             )

@@ -315,9 +315,12 @@ def test_instance_coded_conditionally_on_label(rng):
     if not native.available():
         pytest.skip("native lib unavailable")
     coarse = rng.integers(0, 35, (16, 32))
+    coarse[0, 0] = 0  # a 'stuff'-breaking cell: inst=sub+1 != label=0, so
+    # the pair is NOT label-derivable and the conditional path is exercised
     label = np.repeat(np.repeat(coarse, 16, 0), 16, 1).astype(np.int32)
     sub = np.repeat(np.repeat(rng.integers(0, 4, (16, 32)), 16, 0), 16, 1)
-    inst = label * 1000 + sub.astype(np.int32)
+    inst = label * 1000 + sub.astype(np.int32) + 1
+    assert not np.array_equal(codec_io.derive_label_from_instance(inst), label)
 
     both = codec_io.pack([], label.shape, codec_io.SideInfo(label=label, instance=inst))
     side = codec_io.unpack_full(both).side
@@ -334,3 +337,30 @@ def test_instance_coded_conditionally_on_label(rng):
     if blob[:4] == codec_io.IDRX_MAGIC:
         with pytest.raises(ValueError):
             codec_io.decode_idmap(blob)
+
+
+def test_label_derived_from_instance(rng):
+    """Cityscapes id convention: instance ids are label*1000+idx for things
+    and the label id itself for stuff, so the label map is implied by the
+    instance map. pack() verifies this exactly per image and drops the
+    label section (flag bit 3); the decoder reconstructs it. One
+    unconditionally-coded instance map beats label + conditional instance
+    (measured 0.060 vs 0.091 bpp on the bundled 1024x512 maps)."""
+    coarse = rng.integers(0, 35, (16, 32))
+    label = np.repeat(np.repeat(coarse, 16, 0), 16, 1).astype(np.int32)
+    sub = np.repeat(np.repeat(rng.integers(0, 4, (16, 32)), 16, 0), 16, 1)
+    # things (label >= 20) get label*1000+idx, stuff carries the label id
+    inst = np.where(label >= 20, label * 1000 + sub, label).astype(np.int32)
+    assert np.array_equal(codec_io.derive_label_from_instance(inst), label)
+
+    data = codec_io.pack([], label.shape, codec_io.SideInfo(label=label, instance=inst))
+    bs = codec_io.unpack_full(data)
+    np.testing.assert_array_equal(bs.side.label, label)
+    np.testing.assert_array_equal(bs.side.instance, inst)
+
+    # the derived label costs zero bytes: the file is byte-for-byte the
+    # instance-only file except the flags byte
+    inst_only = codec_io.pack([], label.shape, codec_io.SideInfo(instance=inst))
+    assert len(data) == len(inst_only)
+    label_blob, inst_blob, derived = codec_io.sem_side_blobs(label, inst)
+    assert derived and label_blob is None and inst_blob is not None

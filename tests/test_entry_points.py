@@ -238,10 +238,11 @@ def test_phase2_compress_decompress_cli(tmp_path):
     assert bs.side.label is not None and bs.side.instance is not None
     assert bs.side.base_ext == "jpg" and len(bs.side.base_payloads) == 1
     # every byte accounted: sections sum to the file size (+fixed header)
+    label_blob, inst_blob, _ = codec_io.sem_side_blobs(bs.side.label, bs.side.instance)
     total_side = (
         len(bs.side.base_payloads[0])
-        + len(codec_io.encode_idmap(bs.side.label))
-        + len(codec_io.encode_idmap(bs.side.instance, cond=bs.side.label))
+        + (len(label_blob) if label_blob else 0)
+        + (len(inst_blob) if inst_blob else 0)
     )
     assert total_side < len(jpds[0].read_bytes()) <= total_side + 64
 
