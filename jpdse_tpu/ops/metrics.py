@@ -86,11 +86,20 @@ def ssim(
     window_size: int = 11,
     sigma: float = 1.5,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Mean SSIM and contrast-structure (cs) term over an NHWC batch."""
-    a = a.astype(jnp.float32)
-    b = b.astype(jnp.float32)
-    c1 = (0.01 * data_range) ** 2
-    c2 = (0.03 * data_range) ** 2
+    """Mean SSIM and contrast-structure (cs) term over an NHWC batch.
+
+    Inputs are normalized to [0, 1] internally: the E[x^2]-E[x]^2 variance
+    form cancels catastrophically in fp32 at the 255 scale (E[x^2] ~ 65025
+    carries ~+-1e2 of conv rounding noise, enough to drive a saturated flat
+    region's sig_a+sig_b through -c2 and blow single ssim-map pixels up to
+    ~1e5 — observed on a blown-out white sky, where it flipped a 0.95
+    MS-SSIM image to 0.0). At the [0,1] scale the same relative noise is
+    ~1e-7 against c2=9e-4, three orders of magnitude below significance."""
+    scale = 1.0 / data_range
+    a = a.astype(jnp.float32) * scale
+    b = b.astype(jnp.float32) * scale
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
     blur = functools.partial(_gaussian_filter, size=window_size, sigma=sigma)
     mu_a, mu_b = blur(a), blur(b)
     mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b

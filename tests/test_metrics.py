@@ -169,3 +169,36 @@ def test_ms_ssim_matches_reference_library_algorithm(rng):
             )
         )
         assert abs(ours - golden) < 2e-4, (ours, golden, scale)
+
+
+def test_ssim_stable_on_saturated_flat_regions(rng):
+    """Regression: fp32 E[x^2]-E[x]^2 at the 255 scale cancels
+    catastrophically on saturated flat regions (E[x^2]~65025 carries ~1e2
+    of conv rounding noise) — a blown-out white sky drove sig_a+sig_b
+    through -c2 and blew single ssim-map pixels to ~1e5, flipping a real
+    0.93-MS-SSIM HEVC decode to 0.0. The implementation must normalize to
+    [0,1] (or equivalent) so near-identical saturated inputs score ~1."""
+    a = np.full((128, 256), 255.0)
+    a[96:, :] = (rng.random((32, 256)) * 255)  # some texture below the sky
+    b = a.copy()
+    # the codec reproduces the sky exactly and the texture approximately
+    b[96:, :] = np.clip(b[96:, :] + rng.normal(scale=6, size=(32, 256)), 0, 255)
+    s, cs = ssim(
+        jnp.asarray(a[None, :, :, None], jnp.float32),
+        jnp.asarray(b[None, :, :, None], jnp.float32),
+    )
+    m = float(
+        ms_ssim(
+            jnp.asarray(a[None, :, :, None], jnp.float32),
+            jnp.asarray(b[None, :, :, None], jnp.float32),
+        )
+    )
+    golden, _ = _np_ssim_jp(a, b)  # float64: immune to the cancellation
+    assert abs(float(s) - golden) < 1e-4, (float(s), golden)
+    assert 0.9 < m <= 1.0
+    # bit-identical saturated images are a perfect match everywhere
+    s_eq, _ = ssim(
+        jnp.asarray(a[None, :, :, None], jnp.float32),
+        jnp.asarray(a[None, :, :, None], jnp.float32),
+    )
+    assert abs(float(s_eq) - 1.0) < 1e-5
