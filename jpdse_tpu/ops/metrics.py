@@ -63,7 +63,16 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
 def _gaussian_filter(img: jax.Array, size: int, sigma: float) -> jax.Array:
     """Depthwise separable gaussian blur, NHWC. VALID padding (the reference
     metric library convolves with padding=0); zero-pad fallback only when the
-    input is smaller than the window (where valid conv is undefined)."""
+    input is smaller than the window (where valid conv is undefined).
+
+    Precision is pinned to HIGHEST: a METRIC must not inherit the backend's
+    default conv precision (bf16-class on TPU, and observed ~8e-4 relative
+    under this environment's CPU path too) — the E[x^2]-E[x]^2 variance
+    form amplifies that rounding into sign-flipped variances on
+    low-contrast windows, blowing up the SSIM ratio wherever
+    sig_a+sig_b crosses -c2 (measured: single map pixels at ~1e6 and image
+    scores of 4.6 or 0.0). HIGHEST restores true fp32 accumulation
+    (~4e-8 error), three orders below c2."""
     w = jnp.asarray(_gaussian_window(size, sigma))
     c = img.shape[-1]
     kh = jnp.tile(w.reshape(size, 1, 1, 1), (1, 1, 1, c))  # HWIO, I=1 (depthwise)
@@ -71,10 +80,12 @@ def _gaussian_filter(img: jax.Array, size: int, sigma: float) -> jax.Array:
     dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     pad = 0 if min(img.shape[1], img.shape[2]) >= size else size // 2
     out = jax.lax.conv_general_dilated(
-        img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=c
+        img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     out = jax.lax.conv_general_dilated(
-        out, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=c
+        out, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     return out
 

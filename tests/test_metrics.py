@@ -181,7 +181,12 @@ def test_ssim_stable_on_saturated_flat_regions(rng):
     a = np.full((128, 256), 255.0)
     a[96:, :] = (rng.random((32, 256)) * 255)  # some texture below the sky
     b = a.copy()
-    # the codec reproduces the sky exactly and the texture approximately
+    # the codec reproduces the sky ALMOST exactly (±1 quantization — the
+    # killer case: correlated-but-unequal flat windows) and the texture
+    # approximately
+    b[:96, :] = np.clip(
+        a[:96, :] - (rng.random((96, 256)) < 0.02), 0, 255
+    )
     b[96:, :] = np.clip(b[96:, :] + rng.normal(scale=6, size=(32, 256)), 0, 255)
     s, cs = ssim(
         jnp.asarray(a[None, :, :, None], jnp.float32),
