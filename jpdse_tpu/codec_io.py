@@ -146,17 +146,23 @@ def encode_idmap(arr: np.ndarray, cond: Optional[np.ndarray] = None) -> bytes:
     png = encode_idmap_png(arr)
     best = png
     if native.available() and arr.ndim == 2:
-        rc = native.idmap_encode(arr.astype(np.int32))
-        blob = IDRC_MAGIC + struct.pack("<II", *arr.shape) + rc
-        if len(blob) < len(best):
-            best = blob
-        if cond is not None:
-            rcx = native.idmap_encode(
-                arr.astype(np.int32), cond=np.asarray(cond).astype(np.int32)
-            )
-            blobx = IDRX_MAGIC + struct.pack("<II", *arr.shape) + rcx
-            if len(blobx) < len(best):
-                best = blobx
+        # RuntimeError = coder overflow (native.idmap_encode's worst-case
+        # output cap, reachable only on near-random 32-bit maps, never on
+        # real id maps) — such a map simply ships as PNG instead
+        try:
+            rc = native.idmap_encode(arr.astype(np.int32))
+            blob = IDRC_MAGIC + struct.pack("<II", *arr.shape) + rc
+            if len(blob) < len(best):
+                best = blob
+            if cond is not None:
+                rcx = native.idmap_encode(
+                    arr.astype(np.int32), cond=np.asarray(cond).astype(np.int32)
+                )
+                blobx = IDRX_MAGIC + struct.pack("<II", *arr.shape) + rcx
+                if len(blobx) < len(best):
+                    best = blobx
+        except RuntimeError:
+            pass
     return best
 
 

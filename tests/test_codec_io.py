@@ -305,6 +305,21 @@ def test_idmap_container_sniffing(rng):
         assert len(enc) <= len(codec_io.encode_idmap_png(blocky))
 
 
+def test_idmap_coder_overflow_falls_back_to_png(rng, monkeypatch):
+    """A map that overflows the native coder's output cap (only reachable
+    on adversarial near-random 32-bit fields) must ship as PNG, not raise
+    out of pack()."""
+
+    def boom(*a, **k):
+        raise RuntimeError("idmap coder overflow")
+
+    monkeypatch.setattr(native, "idmap_encode", boom)
+    arr = rng.integers(0, 35, (16, 32)).astype(np.int32)
+    enc = codec_io.encode_idmap(arr, cond=arr)
+    assert enc[:4] not in (codec_io.IDRC_MAGIC, codec_io.IDRX_MAGIC)
+    np.testing.assert_array_equal(codec_io.decode_idmap(enc), arr)
+
+
 def test_instance_coded_conditionally_on_label(rng):
     """pack() codes the instance map conditioned on the label map riding the
     same stream (IDRX container); unpack_full threads the decoded label back
