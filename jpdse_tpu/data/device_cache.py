@@ -115,6 +115,92 @@ class DeviceDatasetCache:
         return out
 
 
+class CachedValBatches:
+    """Device-resident validation batches: iterate the val loader ONCE,
+    place each batch's array modalities on device, and replay the placed
+    batches on every later validate / reconstruction-dump pass.
+
+    Why: validation re-uploads the whole val set through the relay client
+    every ``val_interval`` epochs, and the client leaks the host copy of
+    each upload (measured ~125MB/min on the flagship recipes at
+    val_interval=25 — the training-set DeviceDatasetCache had removed the
+    per-STEP leak, this removes the per-VAL one). ``Trainer._place`` is
+    idempotent on already-placed arrays, so replayed batches skip the H2D
+    entirely; host fields (``path``, byte strings) pass through untouched.
+
+    Exactness: eval never flips (``__getitem__`` applies flip only under
+    ``is_train``) and the gate requires the dataset's deterministic cached
+    preprocessing, so every val pass would have produced these exact
+    arrays anyway."""
+
+    def __init__(self, val_loader, cap: Optional[int] = None):
+        self.batches = []
+        self.nbytes = 0
+        for i, batch in enumerate(val_loader):
+            if cap is not None and i >= cap:
+                break
+            placed = {}
+            for k, v in batch.items():
+                if isinstance(v, np.ndarray) and v.dtype != object:
+                    self.nbytes += v.nbytes
+                    placed[k] = jax.device_put(v)
+                else:
+                    placed[k] = v
+            self.batches.append(placed)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def maybe_val_cache(
+    val_loader, cfg, mesh=None, cap: Optional[int] = None, max_gb: float = 1.0
+) -> Optional[CachedValBatches]:
+    """Build a CachedValBatches when the config supports it, else None.
+    Same gating as maybe_device_cache (opt-in flag, deterministic cached
+    preprocessing, single process, no mesh — sharded/multi-host eval places
+    batches per-shard in Trainer._place) plus an HBM budget estimated from
+    the first batch."""
+    if not getattr(cfg.data, "device_cache", False):
+        return None
+
+    def decline(reason: str):
+        if cfg.data.cache_images:
+            print(f"val device_cache unavailable: {reason}; using host batches")
+        return None
+
+    if not getattr(val_loader.dataset, "_cache_enabled", False):
+        return decline("requires cache_images with deterministic preprocessing")
+    if mesh is not None:
+        return decline("mesh sharding places batches per-shard")
+    if jax.process_count() > 1:
+        return decline("multi-host feeds per-rank shards")
+    try:
+        first = next(iter(val_loader))
+    except StopIteration:
+        return decline("empty val set")
+    per_batch = sum(
+        v.nbytes
+        for v in first.values()
+        if isinstance(v, np.ndarray) and v.dtype != object
+    )
+    n = len(val_loader) if cap is None else min(len(val_loader), cap)
+    if per_batch * n > max_gb * 1024**3:
+        return decline(
+            f"val set ~{per_batch * n / 1024**3:.2f}GB exceeds the "
+            f"{max_gb}GB HBM budget"
+        )
+    cache = CachedValBatches(val_loader, cap=cap)
+    print(
+        f"val device_cache: {len(cache)} batches "
+        f"({cache.nbytes / 1024**2:.0f}MB) resident on device; "
+        f"validation H2D eliminated"
+    )
+    return cache
+
+
 def maybe_device_cache(
     loader, cfg, mesh=None, max_gb: float = 2.0
 ) -> Optional[DeviceDatasetCache]:

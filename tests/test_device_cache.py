@@ -102,6 +102,40 @@ def test_compressed_device_batches_bit_identical(tmp_path):
                 )
 
 
+def test_val_cache_replays_identical_batches():
+    """CachedValBatches must replay bit-identical batches across passes and
+    match the host loader's batches exactly (eval never flips)."""
+    from jpdse_tpu.config import derive_eval_config
+    from jpdse_tpu.data.device_cache import maybe_val_cache
+
+    cfg = train_cfg(n=4)
+    val_cfg = derive_eval_config(cfg, "val")
+    val_loader = create_dataloader(val_cfg)
+    cache = maybe_val_cache(val_loader, cfg, cap=30)
+    assert cache is not None and len(cache) == len(val_loader)
+    for _ in range(2):  # two passes: replay must be stable
+        for hb, cb in zip(val_loader, cache):
+            assert list(hb["path"]) == list(cb["path"])
+            for k in ("image", "label", "instance"):
+                np.testing.assert_array_equal(np.asarray(cb[k]), hb[k])
+
+
+def test_val_cache_gating():
+    from jpdse_tpu.config import derive_eval_config
+    from jpdse_tpu.data.device_cache import maybe_val_cache
+
+    cfg = train_cfg()
+    val_cfg = derive_eval_config(cfg, "val")
+    # mesh -> decline (sharded eval places batches per-shard)
+    assert maybe_val_cache(create_dataloader(val_cfg), cfg, mesh=object()) is None
+    # HBM budget -> decline
+    assert maybe_val_cache(create_dataloader(val_cfg), cfg, max_gb=1e-6) is None
+    # flag off -> decline
+    cfg2 = train_cfg()
+    cfg2.data.device_cache = False
+    assert maybe_val_cache(create_dataloader(val_cfg), cfg2) is None
+
+
 def test_unstackable_dataset_declines(monkeypatch, capsys):
     """Variable-size datasets (preprocess 'none' over a mixed-size folder)
     cannot be stacked into one device array; the cache must decline to the

@@ -186,16 +186,23 @@ def main():
     )
     metrics_log = MetricsLogger(cfg.save_dir if is_main else None)
 
-    if cfg.load_model:
-        trainer.load()
-        # validate to confirm the load (reference train.py:51-76)
-        validate(trainer, val_loader, log_file, cfg)
-
-    from jpdse_tpu.data.device_cache import maybe_device_cache
+    from jpdse_tpu.data.device_cache import maybe_device_cache, maybe_val_cache
 
     dev_cache = maybe_device_cache(loader, cfg, mesh=trainer.mesh)
     if dev_cache is not None:
         loader.meta_only = True
+    # device-resident val batches (same opt-in): every validate / dump pass
+    # otherwise re-uploads the val set through the relay client, which leaks
+    # each upload's host copy (~125MB/min measured at val_interval=25)
+    val_batches = (
+        maybe_val_cache(val_loader, cfg, mesh=trainer.mesh, cap=MAX_VAL_SIZE)
+        or val_loader
+    )
+
+    if cfg.load_model:
+        trainer.load()
+        # validate to confirm the load (reference train.py:51-76)
+        validate(trainer, val_batches, log_file, cfg)
 
     from jpdse_tpu.utils.profiling import trace
 
@@ -218,7 +225,7 @@ def main():
 
         saved_this_epoch = False
         if not (epoch + 1) % cfg.optim.val_interval:
-            avg = validate(trainer, val_loader, log_file, cfg)
+            avg = validate(trainer, val_batches, log_file, cfg)
             if cfg.optim.schedule_lr:
                 trainer.scheduler_step(avg)
             metrics_log.log(
@@ -228,7 +235,7 @@ def main():
             )
             if cfg.always_save or (avg < trainer.best_val_loss and cfg.save_dir):
                 dump_reconstructions(
-                    trainer, val_loader, cfg, gallery, visualizer, is_main
+                    trainer, val_batches, cfg, gallery, visualizer, is_main
                 )
                 log("saving model...", log_file)
                 trainer.save(epoch, avg)
