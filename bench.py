@@ -20,9 +20,11 @@ import time
 import numpy as np
 
 # larger batches lift MXU utilization on the low-channel full-res convs
-# (measured fast path on v5e: 11.8 MP/s @ b2 -> 33.63 @ b8 -> 34.32 @ b16;
-# b32 OOMs at 18.9G of 15.75G HBM); JPDSE_BENCH_BATCH probes other sizes
-H, W, BATCH = 512, 1024, int(os.environ.get("JPDSE_BENCH_BATCH", "16"))
+# (measured fast path on v5e: 11.8 MP/s @ b2 -> 33.63 @ b8 -> 34.32 @ b16
+# [round 2] -> 37.5 @ b16 / 38.3 @ b24 / 33.9 @ b28 [round 3, Pallas
+# realign on — b28 regresses under HBM pressure; b32 OOMs at 18.9G of
+# 15.75G]); JPDSE_BENCH_BATCH probes other sizes
+H, W, BATCH = 512, 1024, int(os.environ.get("JPDSE_BENCH_BATCH", "24"))
 WARMUP, ITERS = 3, 10
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 
