@@ -111,7 +111,23 @@ class _FastTrunk:
             # lowering already handles the per-tap K padding better than the
             # fold's extra relayout costs. Default OFF; JPDSE_HEAD_FOLD=1 enables
             # (w-fold for c4 >= 128, full hw-fold below).
-            if os.environ.get("JPDSE_HEAD_FOLD", "0") == "0":
+            # JPDSE_HEAD_PALLAS=1: do the w-tap fold in VMEM instead
+            # (ops/pallas/head_conv.py) — the per-tap K (c4, padded to
+            # 128-lane MXU tiles: ~62% useful on the flagship) becomes a
+            # per-kernel-row K = 4*c4 contraction with no HBM relayout.
+            # No GSPMD rule -> sharded runs keep the XLA conv.
+            if (
+                os.environ.get("JPDSE_HEAD_PALLAS", "0") != "0"
+                and not sharded
+            ):
+                self.head_fold = "pallas"
+                w["head_w"] = jnp.asarray(
+                    weights_fold_w(wp_head).reshape(
+                        self.head_kp, self.head_kp * c4, -1
+                    ),
+                    dtype,
+                )
+            elif os.environ.get("JPDSE_HEAD_FOLD", "0") == "0":
                 self.head_fold = "none"
                 w["head_w"] = jnp.asarray(wp_head, dtype)
             elif c4 >= 128:
@@ -215,6 +231,12 @@ class _FastTrunk:
     def front(self, w: Dict, x: jax.Array) -> jax.Array:
         """fine input -> normal-domain tensor after down0 (H/2, W/2, C1)."""
         x = x.astype(self.dtype)
+        if self.head_fold == "pallas":
+            h = self._front_head_pallas(w, x)
+            h = jax.nn.relu(instance_norm_s2d(h))
+            h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            h = conv_valid(h, w["down0_w"]) + w["down0_b"]
+            return jax.nn.relu(instance_norm(h))
         # One-pass entry into the s2d domain (ops/pallas/realign.py
         # s2d_pad3_pallas, the front-side sibling of the back-stage grid
         # re-alignment): pad3 + s2d in a single read+write instead of XLA's
@@ -249,6 +271,37 @@ class _FastTrunk:
         h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
         h = conv_valid(h, w["down0_w"]) + w["down0_b"]
         return jax.nn.relu(instance_norm(h))
+
+    def _front_head_pallas(self, w: Dict, x: jax.Array) -> jax.Array:
+        """Head conv via the VMEM-im2col kernel (ops/pallas/head_conv.py):
+        the reflect pad carries head_conv_extra_rows of extra bottom rows
+        (reflected values, never read into an output) so the kernel's
+        second row view stays in bounds; falls back to the plain conv
+        off-TPU or for row counts the kernel doesn't tile (ho % 4 != 0) —
+        the w-folded weights unfold by pure reshape."""
+        from jpdse_tpu.ops.pallas.head_conv import (
+            BH,
+            head_conv_extra_rows,
+            head_conv_s2d_pallas,
+            pallas_head_conv_supported,
+        )
+
+        kp = self.head_kp
+        ho = x.shape[1] // 2
+        if pallas_head_conv_supported() and ho % BH == 0:
+            extra = head_conv_extra_rows(ho, kp)
+            xp = space_to_depth(
+                jnp.pad(
+                    x,
+                    ((0, 0), (3, 3 + 2 * extra), (3, 3), (0, 0)),
+                    mode="reflect",
+                )
+            )
+            return head_conv_s2d_pallas(xp, w["head_w"], kp, ho=ho) + w["head_b"]
+        xp = space_to_depth(reflect_pad(x, 3))
+        c4 = xp.shape[-1]
+        wk = w["head_w"].reshape(kp, kp, c4, -1)
+        return conv_valid(xp, wk) + w["head_b"]
 
     def mid_down(self, w: Dict, h: jax.Array) -> jax.Array:
         for i in range(1, self.n_mid_down + 1):

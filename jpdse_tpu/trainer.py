@@ -181,7 +181,8 @@ class Trainer:
         space-to-depth optimized codec (models/fast_codec.py; measured 33.6
         vs 24.3 MP/s/chip at batch 8 on v5e). Numerically equivalent up to
         bf16 reassociation. Falls back to the standard path for unsupported
-        configs (non-global netG, grouped/pooled encoders, batch norm).
+        configs (grouped/pooled encoders, batch norm; netG 'global' and
+        'local' are both covered).
         Under a device mesh the transformed weights replicate and batches
         shard exactly like the standard path — the fast codec is pure jit,
         so GSPMD inserts the cross-shard InstanceNorm reductions and conv
