@@ -115,10 +115,16 @@ class _FastTrunk:
             # (ops/pallas/head_conv.py) — the per-tap K (c4, padded to
             # 128-lane MXU tiles: ~62% useful on the flagship) becomes a
             # per-kernel-row K = 4*c4 contraction with no HBM relayout.
+            # Only for heads that are actually K-starved: at tiny c4 the
+            # conv is output-HBM-bound, not MXU-bound, and the kernel's
+            # per-step overheads lose (netE c4=12: 10.6 ms Pallas vs 7.0
+            # XLA at batch 8; JPDSE_HEAD_PALLAS=force overrides the gate).
             # No GSPMD rule -> sharded runs keep the XLA conv.
+            _hp_env = os.environ.get("JPDSE_HEAD_PALLAS", "0")
             if (
-                os.environ.get("JPDSE_HEAD_PALLAS", "0") != "0"
+                _hp_env != "0"
                 and not sharded
+                and (c4 >= 64 or _hp_env == "force")
             ):
                 self.head_fold = "pallas"
                 w["head_w"] = jnp.asarray(
@@ -290,13 +296,19 @@ class _FastTrunk:
         ho = x.shape[1] // 2
         if pallas_head_conv_supported() and ho % BH == 0:
             extra = head_conv_extra_rows(ho, kp)
-            xp = space_to_depth(
-                jnp.pad(
-                    x,
-                    ((0, 0), (3, 3 + 2 * extra), (3, 3), (0, 0)),
-                    mode="reflect",
-                )
-            )
+            # Produce the padded s2d input as one XLA transpose copy (plain
+            # space_to_depth, no pad) + the BACK-stage realign kernel (pad3
+            # of an s2d tensor = tap permutation + shifted block moves — the
+            # movement pattern Pallas is fast at). The alternatives both
+            # measured worse at batch 8 (tools/profile_front.py,
+            # /tmp/head_pallas_v*__ logs): the jnp pad+s2d producer
+            # materializes ~10 ms of pad/transpose/operand copies around the
+            # kernel (23.9 ms front), and the fine-input s2d_pad3_pallas
+            # producer pays ~17 us/row for the W-interleave shuffles
+            # (49.8 ms front).
+            from jpdse_tpu.ops.pallas.realign import s2d_realign_pad3_pallas
+
+            xp = s2d_realign_pad3_pallas(space_to_depth(x), extra_rows=extra)
             return head_conv_s2d_pallas(xp, w["head_w"], kp, ho=ho) + w["head_b"]
         xp = space_to_depth(reflect_pad(x, 3))
         c4 = xp.shape[-1]

@@ -59,26 +59,30 @@ def head_conv_extra_rows(ho: int, kp: int = 4, bh: int = BH) -> int:
     return max(0, (n_tiles + 1) * bh - (ho + kp - 1))
 
 
-def _make_kernel(kp: int, bh: int, wo: int, cin: int):
+def _make_kernel(kp: int, bh: int, bq: int, wo: int, cin: int):
     def _kernel(va_ref, vb_ref, w_ref, o_ref, xin_ref, a_ref):
         # va/vb: (1, bh, Wp, C) row blocks i and i+1; w: (kp, kp*C, N)
-        # xin: (bh + kp - 1, Wp, C) stitched rows; a: (bh, wo, kp*C)
+        # xin: (bh + kp - 1, Wp, C) stitched rows; a: (bq, wo, kp*C).
+        # The bh output rows are emitted in sub-blocks of bq so the fold
+        # scratch + fp32 accumulator stay inside the 16M scoped-VMEM limit
+        # (bq == bh measured 18.6M at the flagship shape — compile OOM).
         xin_ref[0:bh] = va_ref[0]
         xin_ref[bh : bh + kp - 1] = vb_ref[0, 0 : kp - 1]
-        acc = None
-        for dy in range(kp):
-            for dx in range(kp):
-                a_ref[:, :, dx * cin : (dx + 1) * cin] = xin_ref[
-                    dy : dy + bh, dx : dx + wo, :
-                ]
-            p = jax.lax.dot_general(
-                a_ref[:],
-                w_ref[dy],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = p if acc is None else acc + p
-        o_ref[0] = acc.astype(o_ref.dtype)
+        for q0 in range(0, bh, bq):
+            acc = None
+            for dy in range(kp):
+                for dx in range(kp):
+                    a_ref[:, :, dx * cin : (dx + 1) * cin] = xin_ref[
+                        q0 + dy : q0 + dy + bq, dx : dx + wo, :
+                    ]
+                p = jax.lax.dot_general(
+                    a_ref[:],
+                    w_ref[dy],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = p if acc is None else acc + p
+            o_ref[0, q0 : q0 + bq] = acc.astype(o_ref.dtype)
 
     return _kernel
 
@@ -121,8 +125,9 @@ def head_conv_s2d_pallas(
         f"head_conv_extra_rows(ho) bottom rows"
     )
 
+    bq = 2 if bh % 2 == 0 else bh  # sub-block rows per fold+dot (VMEM cap)
     return pl.pallas_call(
-        _make_kernel(kp, bh, wo, c),
+        _make_kernel(kp, bh, bq, wo, c),
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec((1, bh, wp_, c), lambda bi, j: (bi, j, 0, 0)),
@@ -133,7 +138,7 @@ def head_conv_s2d_pallas(
         out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, n), xp.dtype),
         scratch_shapes=[
             pltpu.VMEM((bh + kp - 1, wp_, c), xp.dtype),
-            pltpu.VMEM((bh, wo, kp * c), xp.dtype),
+            pltpu.VMEM((bq, wo, kp * c), xp.dtype),
         ],
         interpret=interpret,
     )(xp, xp, w_folded)

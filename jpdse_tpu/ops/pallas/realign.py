@@ -64,9 +64,14 @@ def _reflect_fine(m, n_fine):
     return jnp.where(m > n_fine - 1, 2 * (n_fine - 1) - m, m)
 
 
-def s2d_realign_pad3_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
-    """(B, hs, ws, 4C) s2d tensor -> (B, hs+3, ws+3, 4C), equal to
-    ``space_to_depth(reflect_pad(depth_to_space(y), 3))`` bit-for-bit."""
+def s2d_realign_pad3_pallas(
+    y: jax.Array, interpret: bool = False, extra_rows: int = 0
+) -> jax.Array:
+    """(B, hs, ws, 4C) s2d tensor -> (B, hs+3+extra_rows, ws+3, 4C); rows
+    [0, hs+3) equal ``space_to_depth(reflect_pad(depth_to_space(y), 3))``
+    bit-for-bit. ``extra_rows`` appends deeper-reflected rows as fetch
+    padding for Pallas consumers whose row views over-fetch
+    (ops/pallas/head_conv.py); they are never part of the result."""
     bsz, hs, ws, c4 = y.shape
     assert hs >= 2 and ws >= 2 and c4 % 4 == 0
 
@@ -78,15 +83,17 @@ def s2d_realign_pad3_pallas(y: jax.Array, interpret: bool = False) -> jax.Array:
         m = _reflect_fine(2 * j - 2, 2 * hs)
         return (bi, m // 2, 0, 0)
 
+    hp = hs + 3 + extra_rows
+    assert 2 * hp - 3 <= 2 * (2 * hs - 1) + 1, "extra_rows exceeds reflect range"
     return pl.pallas_call(
         _kernel,
-        grid=(bsz, hs + 3),
+        grid=(bsz, hp),
         in_specs=[
             pl.BlockSpec((1, 1, ws, c4), row_a),
             pl.BlockSpec((1, 1, ws, c4), row_b),
         ],
         out_specs=pl.BlockSpec((1, 1, ws + 3, c4), lambda bi, j: (bi, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, hs + 3, ws + 3, c4), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, ws + 3, c4), y.dtype),
         interpret=interpret,
     )(y, y)
 
@@ -127,15 +134,22 @@ def _front_kernel(xa_ref, xb_ref, o_ref):
     )
 
 
-def s2d_pad3_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
-    """(B, H, W, C) normal-domain tensor -> (B, H/2+3, W/2+3, 4C), equal to
-    ``space_to_depth(reflect_pad(x, 3))`` bit-for-bit.
+def s2d_pad3_pallas(
+    x: jax.Array, interpret: bool = False, extra_rows: int = 0
+) -> jax.Array:
+    """(B, H, W, C) normal-domain tensor -> (B, H/2+3+extra_rows, W/2+3, 4C);
+    rows [0, H/2+3) equal ``space_to_depth(reflect_pad(x, 3))`` bit-for-bit.
 
     The fast trunks' FRONT stages enter the s2d domain through exactly that
     composition (models/fast_codec.py front); XLA lowers it as two
     full-tensor HBM round trips (pad copy + relayout). This kernel reads
     each fine input row once and writes each padded s2d output row once —
-    the front-side sibling of the back-stage grid re-alignment above."""
+    the front-side sibling of the back-stage grid re-alignment above.
+
+    ``extra_rows`` appends further (deeper-reflected) rows so a Pallas
+    consumer whose row views over-fetch (ops/pallas/head_conv.py needs
+    head_conv_extra_rows) can read in bounds; their values are never part
+    of the mathematical result."""
     bsz, h, w, c = x.shape
     assert h % 2 == 0 and w % 2 == 0 and h >= 4 and w >= 4
 
@@ -146,9 +160,11 @@ def s2d_pad3_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
         return (bi, _reflect_fine(2 * j - 2, h), 0, 0)
 
     hs, ws = h // 2, w // 2
+    hp = hs + 3 + extra_rows
+    assert 2 * hp - 3 <= 2 * (h - 1) + 1, "extra_rows exceeds reflect range"
     return pl.pallas_call(
         _front_kernel,
-        grid=(bsz, hs + 3),
+        grid=(bsz, hp),
         in_specs=[
             pl.BlockSpec((1, 1, w, c), row_a),
             pl.BlockSpec((1, 1, w, c), row_b),
@@ -156,6 +172,6 @@ def s2d_pad3_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
         out_specs=pl.BlockSpec(
             (1, 1, ws + 3, 4 * c), lambda bi, j: (bi, j, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hs + 3, ws + 3, 4 * c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, ws + 3, 4 * c), x.dtype),
         interpret=interpret,
     )(x, x)

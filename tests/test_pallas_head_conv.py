@@ -54,6 +54,22 @@ def test_head_conv_matches_conv_valid(shape):
     )
 
 
+def test_pad3_s2d_extra_rows_prefix_exact():
+    """The composed producer (realign.s2d_pad3_pallas with extra_rows) must
+    match space_to_depth(reflect_pad(x, 3)) exactly on the real rows; the
+    extra rows are fetch padding only."""
+    from jpdse_tpu.models.layers import reflect_pad
+    from jpdse_tpu.ops.pallas.realign import s2d_pad3_pallas
+    from jpdse_tpu.ops.s2d import space_to_depth
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 5)).astype(np.float32))
+    ref = space_to_depth(reflect_pad(x, 3))
+    got = s2d_pad3_pallas(x, interpret=True, extra_rows=1)
+    assert got.shape[1] == ref.shape[1] + 1
+    np.testing.assert_array_equal(np.asarray(got[:, :-1]), np.asarray(ref))
+
+
 def test_head_conv_rejects_untileable_rows():
     x = jnp.zeros((1, 9, 12, 4))
     wf = jnp.zeros((4, 16, 8))
@@ -66,8 +82,8 @@ def test_fast_trunk_head_pallas_mode_matches_default():
     from jpdse_tpu.models.generator import GlobalGenerator
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(size=(1, 32, 48, 7)).astype(np.float32))
-    gen = GlobalGenerator(7, 3, 8, 2, 1, fused=False, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 16)).astype(np.float32))
+    gen = GlobalGenerator(16, 3, 8, 2, 1, fused=False, dtype=jnp.float32)
     params = gen.init(jax.random.PRNGKey(0), x)["params"]
 
     base = _FastTrunk(params, 2, 1, "none", jnp.float32)

@@ -99,9 +99,29 @@ def main():
     )
     results = {}
     for variant in args.variants.split(","):
-        sec = timed_loop(
-            lambda w_arg, x, v=variant: probe_conv(x, w_arg, kp, v), wf, xp
-        )
+        if variant == "v2":
+            # the shipped kernel (ops/pallas/head_conv.py), raw: padded-s2d
+            # input handed over directly, no producer/consumer context
+            from jpdse_tpu.ops.pallas.head_conv import (
+                head_conv_extra_rows,
+                head_conv_s2d_pallas,
+            )
+
+            ho = hp - kp + 1
+            extra = head_conv_extra_rows(ho, kp)
+            xp2 = jnp.pad(xp, ((0, 0), (0, extra), (0, 0), (0, 0)))
+            wf2 = jnp.asarray(
+                np.asarray(wf, np.float32).reshape(kp, kp, c, n)
+                .reshape(kp, kp * c, n), jnp.bfloat16
+            )
+            sec = timed_loop(
+                lambda w_arg, x: head_conv_s2d_pallas(x, w_arg, kp, ho=ho),
+                wf2, xp2,
+            )
+        else:
+            sec = timed_loop(
+                lambda w_arg, x, v=variant: probe_conv(x, w_arg, kp, v), wf, xp
+            )
         results[variant] = round(sec * 1000, 3)
         print(f"{variant}: {sec * 1000:.3f} ms", flush=True)
     print(json.dumps({"batch": args.batch, "cin": c, "ms": results}))

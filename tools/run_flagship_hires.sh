@@ -1,0 +1,79 @@
+#!/usr/bin/env bash
+# Round-3 high-resolution operating point: the LocalEnhancer coarse-to-fine
+# generator at 2048x1024 — the reference's pix2pixHD scale-up recipe
+# (networks.py:144-196 LocalEnhancer; --niter_fix_global in
+# ctu/parsers + pix2pixHD heritage: train the 1024x512 global generator,
+# then wrap it in a --netG local --ngf 32 enhancer at 2048x1024 with the
+# global trunk frozen for the first N epochs).
+#
+# Configuration matches the trained compressed-visuals flagship (raw one-hot
+# semantics + in-process HEVC-intra visuals at q30,
+# tools/run_flagship_compressed.sh) so the warm start is the actual trained
+# q30 checkpoint: tools/warmstart_local_from_global.py re-nests its netG
+# under netG/global (minus the tail the LocalEnhancer drops), and
+# --load_model partial-merges it (train/checkpoint.py) — enhancer stacks and
+# the discriminator initialize fresh at the new resolution.
+#
+# Same 22/8 train/held-out split; all quality numbers come from the held-out
+# 8 at 2048x1024.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROOT=${ROOT:-datasets/cityscapes_split}
+OUT=${OUT:-artifacts/flagship_r3_hires}
+WARM_SRC=${WARM_SRC:-artifacts/flagship_r3_compressed_long/phaseB}
+PA=${PA:-250}
+PB=${PB:-120}
+VAL_INT=${VAL_INT:-25}
+QUALITY=${QUALITY:-30}
+BATCH=${BATCH:-1}
+FIX_GLOBAL=${FIX_GLOBAL:-50}
+
+CFG="--use_compressed --ext heif --quality ${QUALITY} \
+  --no_label_encoding --no_feat_encoding --no_generator_binarization \
+  --netG local --ngf 32 --n_local_enhancers 1 --n_blocks_local 3"
+
+COMMON="--dataset cityscapes --root_dir ${ROOT} --model pix2pixHD \
+  --use_gt_semantics ${CFG} \
+  --preprocess_mode fixed --load_size 2048 --crop_size 2048 \
+  --val_preprocess_mode fixed --val_load_size 2048 --val_crop_size 2048 \
+  --test_preprocess_mode fixed --test_load_size 2048 --test_crop_size 2048 \
+  --batch_size ${BATCH} --num_workers 2 --seed 1234 --cache_images --remat \
+  --val_interval ${VAL_INT} --max_recon_dump 2 --max_host_rss_gb 100 --latest_interval 100 \
+  --normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
+
+. "$(dirname "$0")/flagship_phase_lib.sh"
+
+mkdir -p "${OUT}"
+PHASEA_PREV=""
+if [ -d "${WARM_SRC}/params" ]; then
+  if [ ! -d "${OUT}/warm_init/params" ]; then
+    echo "=== re-nesting ${WARM_SRC} for LocalEnhancer warm start ==="
+    JAX_PLATFORMS=cpu python tools/warmstart_local_from_global.py \
+      --src "${WARM_SRC}" --dst "${OUT}/warm_init"
+  fi
+  PHASEA_PREV=${OUT}/warm_init
+fi
+
+echo "=== phase A: full objective, enhancer at 2048x1024, global frozen ${FIX_GLOBAL} epochs (${PA} total) ==="
+run_phase phaseA "${PHASEA_PREV}" "${PA}" --niter_fix_global "${FIX_GLOBAL}"
+
+echo "=== phase B: distortion-only fine-tune (${PB} epochs) ==="
+run_phase phaseB "${OUT}/phaseA" "${PB}" \
+  --no_g_gan_loss --no_d_gan_loss --no_vgg_loss --no_gan_feat_loss \
+  --schedule_lr --lr_decay_patience 3
+
+echo "=== held-out eval (2048x1024) + .jpds v2 deploy round trip ==="
+for ph in phaseA phaseB; do
+  python test.py --load_opt --opt_file ${OUT}/${ph}/opt.json \
+    --checkpoints_dir ${OUT}/${ph} --save_dir ${OUT}/eval_${ph} \
+    --root_dir ${ROOT} --mode val
+done
+python compress.py --load_opt --opt_file ${OUT}/phaseB/opt.json \
+  --checkpoints_dir ${OUT}/phaseB --save_dir ${OUT}/bits_phaseB \
+  --root_dir ${ROOT} --mode val
+python decompress.py --input ${OUT}/bits_phaseB \
+  --load_opt --opt_file ${OUT}/phaseB/opt.json \
+  --checkpoints_dir ${OUT}/phaseB --save_dir ${OUT}/recon_phaseB
+
+echo "=== hires LocalEnhancer training complete ==="

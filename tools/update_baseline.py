@@ -23,6 +23,10 @@ def main():
     )
     for p in points:
         ok = "OK" if (p["dpsnr"] <= 0.05 and p["dmsssim"] <= 0.001) else "FAIL"
+        # honest operating-point label: --ext bpg runs through the
+        # in-process HEVC-intra codec (q mapped 100-2q), not bpgenc
+        if p["ext"] == "bpg":
+            p = dict(p, ext="bpg* (HEVC-intra, q mapped 100-2q)")
         rows.append(
             f"| {p['ext']} | {p['quality']} | {p['bpp']:.4f} | {p['psnr_jax']:.3f} "
             f"| {p['psnr_torch']:.3f} | {p['dpsnr']:.5f} | {p['msssim_jax']:.5f} "
@@ -56,7 +60,12 @@ def main():
         md = f.read()
     marker = "## Measured R-D parity table"
     if marker in md:
-        md = md[: md.index(marker)] + table
+        start = md.index(marker)
+        # preserve everything from the NEXT section heading on (the trained
+        # operating-points table lives below this one)
+        nxt = md.find("\n## ", start + len(marker))
+        tail = md[nxt + 1 :] if nxt != -1 else ""
+        md = md[:start] + table + ("\n" + tail if tail else "")
     else:
         md = md + "\n" + table
     with open("BASELINE.md", "w") as f:
