@@ -33,12 +33,19 @@ CFG="--use_compressed --ext heif --quality ${QUALITY} \
   --no_label_encoding --no_feat_encoding --no_generator_binarization \
   --netG local --ngf 32 --n_local_enhancers 1 --n_blocks_local 3"
 
+# --device_cache 0: at 2048x1024 the train+val device caches cost 2.45GB of
+# the 16GB HBM and the batch-1 GAN step OOMs with them resident (measured;
+# the 1024 flagships keep them on). The host-side image/base-codec memos
+# (--cache_images) stay, so epochs don't re-pay the HEVC encodes; the relay
+# client's per-upload host leak is re-exposed and handled by the
+# --max_host_rss_gb watchdog + the runner's lossless restart loop.
 COMMON="--dataset cityscapes --root_dir ${ROOT} --model pix2pixHD \
   --use_gt_semantics ${CFG} \
   --preprocess_mode fixed --load_size 2048 --crop_size 2048 \
   --val_preprocess_mode fixed --val_load_size 2048 --val_crop_size 2048 \
   --test_preprocess_mode fixed --test_load_size 2048 --test_crop_size 2048 \
   --batch_size ${BATCH} --num_workers 2 --seed 1234 --cache_images --remat \
+  --device_cache 0 \
   --val_interval ${VAL_INT} --max_recon_dump 2 --max_host_rss_gb 100 --latest_interval 100 \
   --normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
 
