@@ -34,6 +34,7 @@ import numpy as np
 
 from jpdse_tpu.config import Config
 from jpdse_tpu.models.codec import prepare_inputs
+from jpdse_tpu.ops.semantics import instance_edges
 from jpdse_tpu.models.layers import avg_pool_3s2, instance_norm, reflect_pad
 from jpdse_tpu.ops.s2d import (
     conv_s1_weights_to_s2d,
@@ -46,6 +47,7 @@ from jpdse_tpu.ops.s2d import (
     fold_hw_taps,
     fold_w_taps,
     instance_norm_s2d,
+    s2d_concat_interleave,
     s2d_realign_pad3,
     space_to_depth,
     weights_fold_hw,
@@ -347,21 +349,19 @@ class _FastTrunk:
             h = jax.nn.relu(instance_norm(h))
         return h
 
-    def back(self, w: Dict, h: jax.Array) -> jax.Array:
-        """normal-domain (H/2, W/2, Clast) -> fine output with tanh."""
-        hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        y = conv_valid(hp, w["uplast_w"]) + w["uplast_b"]
-        y = jax.nn.relu(instance_norm_s2d(y))
-        # Grid re-alignment before the 7x7 tail. Measured at batch 8 full
-        # res on v5e (tools/bench_e4l_back.py): the d2s->pad->s2d
-        # composition costs 8.05 ms (two full-tensor HBM round trips); the
-        # XLA slice-concat re-expression (s2d_realign_pad3,
-        # JPDSE_FUSED_REALIGN=xla) is WORSE at 15.2 ms (C-sized
-        # channel-block slices break 128-lane alignment); the Pallas
-        # one-pass kernel (ops/pallas/realign.py) does it in 5.03 ms and
-        # the netE4label back stage drops 27.4 -> 17.5 ms — so Pallas is
-        # the TPU default (bit-exact; JPDSE_FUSED_REALIGN=0 restores the
-        # composition, =xla the slice-concat form).
+    def _realign(self, y: jax.Array) -> jax.Array:
+        """Grid re-alignment: ``s2d(reflect_pad(d2s(y), 3))`` in one pass.
+        Measured at batch 8 full res on v5e (tools/bench_e4l_back.py): the
+        d2s->pad->s2d composition costs 8.05 ms (two full-tensor HBM round
+        trips); the XLA slice-concat re-expression (s2d_realign_pad3,
+        JPDSE_FUSED_REALIGN=xla) is WORSE at 15.2 ms (C-sized channel-block
+        slices break 128-lane alignment); the Pallas one-pass kernel
+        (ops/pallas/realign.py) does it in 5.03 ms and the netE4label back
+        stage drops 27.4 -> 17.5 ms — so Pallas is the TPU default
+        (bit-exact; JPDSE_FUSED_REALIGN=0 restores the composition, =xla
+        the slice-concat form). Used before every trunk's 7x7 tail and, in
+        s2d-e2e mode, before the head conv of a trunk whose input arrives
+        already in the s2d domain (front_s2d)."""
         how = os.environ.get("JPDSE_FUSED_REALIGN", "auto")
         if how == "auto":
             if self.sharded:
@@ -377,11 +377,44 @@ class _FastTrunk:
         if how == "pallas":
             from jpdse_tpu.ops.pallas.realign import s2d_realign_pad3_pallas
 
-            yp = s2d_realign_pad3_pallas(y)
-        elif how in ("1", "xla"):
-            yp = s2d_realign_pad3(y)
-        else:
-            yp = space_to_depth(reflect_pad(depth_to_space(y), 3))
+            return s2d_realign_pad3_pallas(y)
+        if how in ("1", "xla"):
+            return s2d_realign_pad3(y)
+        return space_to_depth(reflect_pad(depth_to_space(y), 3))
+
+    def front_s2d(self, w: Dict, x: jax.Array) -> jax.Array:
+        """:meth:`front` for an input already in the s2d domain (the global
+        (sub, c) channel layout — s2d_concat_interleave). Skips the
+        full-resolution pad+relayout entirely: the pad-3 re-alignment runs
+        as the one-pass kernel and the head conv consumes the identical
+        tensor front() would have built — bit-exact by construction
+        (PERF.md: the front stages' ~7 ms/trunk of producer relayout copies
+        were the measured remaining headroom)."""
+        if self.head_fold == "pallas":
+            # the VMEM head kernel path manages its own producer; fall back
+            # through the fine domain (measured-negative path kept runnable)
+            return self.front(w, depth_to_space(x))
+        x = x.astype(self.dtype)
+        xp = self._realign(x)
+        if self.head_fold == "w":
+            xp = fold_w_taps(xp, self.head_kp)
+        elif self.head_fold == "hw":
+            xp = fold_hw_taps(xp, self.head_kp, self.head_kp)
+        h = conv_valid(xp, w["head_w"]) + w["head_b"]
+        h = jax.nn.relu(instance_norm_s2d(h))
+        h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        h = conv_valid(h, w["down0_w"]) + w["down0_b"]
+        return jax.nn.relu(instance_norm(h))
+
+    def back(self, w: Dict, h: jax.Array, keep_s2d: bool = False) -> jax.Array:
+        """normal-domain (H/2, W/2, Clast) -> fine output with tanh.
+        ``keep_s2d``: return the tail output in the s2d domain (skip the
+        final depth_to_space) — for trunks whose output feeds another s2d
+        front (s2d-e2e mode)."""
+        hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        y = conv_valid(hp, w["uplast_w"]) + w["uplast_b"]
+        y = jax.nn.relu(instance_norm_s2d(y))
+        yp = self._realign(y)
         if self.tail_split == "full":
             t = conv_tap_split(yp, w["tail_w"], self.tail_kp, self.tail_kp)
         elif self.tail_split == "w":
@@ -389,11 +422,15 @@ class _FastTrunk:
         else:
             t = conv_valid(yp, w["tail_w"])
         out = jnp.tanh(t + w["tail_b"])
-        return depth_to_space(out)
+        return out if keep_s2d else depth_to_space(out)
 
     # -- full passes ----------------------------------------------------
-    def __call__(self, w: Dict, x: jax.Array) -> jax.Array:
-        h = self.front(w, x) if self.has_front else x.astype(self.dtype)
+    def __call__(self, w: Dict, x: jax.Array, x_is_s2d: bool = False,
+                 keep_s2d: bool = False) -> jax.Array:
+        if self.has_front:
+            h = self.front_s2d(w, x) if x_is_s2d else self.front(w, x)
+        else:
+            h = x.astype(self.dtype)
         h = self.mid_down(w, h)
         if self.binarize in ("before_res", "mid"):
             h = self.apply_binarizer(w, h)
@@ -401,7 +438,7 @@ class _FastTrunk:
         if self.binarize == "after_res":
             h = self.apply_binarizer(w, h)
         h = self.mid_up(w, h)
-        return self.back(w, h) if self.has_back else h
+        return self.back(w, h, keep_s2d=keep_s2d) if self.has_back else h
 
     def decode_from_code(self, w: Dict, code_pm1: jax.Array) -> jax.Array:
         """Resume the trunk after the binarizer ({-1,+1} input) — the
@@ -413,10 +450,11 @@ class _FastTrunk:
             h = self.res_blocks(w, h)
         return self.back(w, self.mid_up(w, h))
 
-    def encode(self, w: Dict, x: jax.Array) -> jax.Array:
+    def encode(self, w: Dict, x: jax.Array, x_is_s2d: bool = False) -> jax.Array:
         if self.binarize == "none":
             raise ValueError("no binarizer in this trunk")
-        h = self.mid_down(w, self.front(w, x))
+        h = self.front_s2d(w, x) if x_is_s2d else self.front(w, x)
+        h = self.mid_down(w, h)
         if self.binarize in ("before_res", "mid"):
             return self.apply_binarizer(w, h)
         h = self.res_blocks(w, h)
@@ -535,6 +573,23 @@ class FastCodec:
             self.weights["netE"] = self.netE.weights
         if self.netE4label is not None:
             self.weights["netE4label"] = self.netE4label.weights
+        # s2d end-to-end mode (JPDSE_S2D_E2E): assemble the trunk inputs
+        # directly in the s2d domain (one-hot of the s2d'd label map, s2d'd
+        # edge/visual channels, upstream tails kept pre-depth_to_space) and
+        # enter each front through the one-pass pad-3 re-alignment
+        # (_FastTrunk.front_s2d) — eliminating every full-resolution
+        # pad+relayout producer copy between stages. Bit-exact: the head
+        # convs consume the identical tensors (s2d_concat_interleave
+        # restores the global (sub, c) layout, so the trunk weights are
+        # unchanged and both front paths stay valid). Global trunks only
+        # (the LocalEnhancer pyramid needs the fine input for its
+        # avg-pool levels); the sharded path keeps the fine assembly whose
+        # d2s/pad/s2d ops GSPMD partitions with automatic halo exchanges.
+        self.s2d_e2e = (
+            os.environ.get("JPDSE_S2D_E2E", "0") == "1"
+            and m.netG == "global"
+            and not sharded
+        )
         self._jit_decode = None
         self._jit_codes_shaped = None
         self._jit_decode_codes = None
@@ -574,8 +629,66 @@ class FastCodec:
             return feat
         return jnp.concatenate([input_label, feat.astype(input_label.dtype)], axis=-1)
 
+    # -- s2d-e2e input assembly (see the __init__ note) -------------------
+    def _label_comps_s2d(self, batch: Dict[str, jax.Array]) -> List[jax.Array]:
+        """The semantic input (one-hot label ++ edge map) as per-component
+        s2d tensors, built IN the s2d domain. Bit-exact vs
+        ``space_to_depth(prepare_semantics(...))`` after interleaving:
+        one-hot is elementwise so it commutes with the s2d permutation, and
+        the edge map is a 1-channel relayout."""
+        m, dt = self.cfg.model, self.netG.dtype
+        comps = []
+        if not m.no_label:
+            lab = batch["label"]
+            if lab.ndim == 3:
+                lab = lab[..., None]
+            lab4 = space_to_depth(lab.astype(jnp.int32))
+            nc = self.cfg.data.semantic_nc
+            oh = jax.nn.one_hot(jnp.clip(lab4, 0, nc - 1), nc, dtype=dt)
+            comps.append(oh.reshape(oh.shape[0], oh.shape[1], oh.shape[2], 4 * nc))
+        if not m.no_instance:
+            comps.append(
+                space_to_depth(instance_edges(batch["instance"], dtype=dt))
+            )
+        return comps
+
+    def _vis_s2d(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        vis = (
+            batch["compressed"]
+            if self.cfg.codec.use_compressed
+            else batch["image"]
+        )
+        return space_to_depth(vis.astype(self.netG.dtype))
+
+    def _g_input_s2d(
+        self, weights: Dict, batch: Dict[str, jax.Array]
+    ) -> List[jax.Array]:
+        """netG's input (label features ++ visual features) as per-component
+        s2d tensors — upstream trunks entered via front_s2d and exited
+        pre-depth_to_space (the s2d-e2e form of :meth:`_concat`)."""
+        m = self.cfg.model
+        comps = self._label_comps_s2d(batch)
+        if comps and self.netE4label is not None:
+            x = s2d_concat_interleave(comps)
+            comps = [
+                self.netE4label(
+                    weights["netE4label"], x, x_is_s2d=True, keep_s2d=True
+                )
+            ]
+        if not m.no_feat:
+            v = self._vis_s2d(batch)
+            if self.netE is not None:
+                v = self.netE(weights["netE"], v, x_is_s2d=True, keep_s2d=True)
+            comps.append(v)
+        return comps
+
     def decode_fn(self, weights: Dict, batch: Dict[str, jax.Array]) -> jax.Array:
         """Pure function of (weights, batch) — jit this."""
+        if self.s2d_e2e:
+            comps = self._g_input_s2d(weights, batch)
+            return self.netG(
+                weights["netG"], s2d_concat_interleave(comps), x_is_s2d=True
+            )
         inputs = self._inputs(batch)
         return self.netG(weights["netG"], self._concat(weights, inputs))
 
@@ -588,12 +701,28 @@ class FastCodec:
         """Binary codes in native (B, h, w, C) {0,1} layout, in the same order
         as SemanticCodec.get_codes_shaped (netE4label, netE, G-bottleneck)."""
         m = self.cfg.model
-        inputs = self._inputs(batch)
         codes = []
 
         def to01(c):
             return (c + 1.0) / 2.0
 
+        if self.s2d_e2e:
+            if self.netE4label is not None and not m.no_label_encoder_binarization:
+                x = s2d_concat_interleave(self._label_comps_s2d(batch))
+                codes.append(
+                    to01(self.netE4label.encode(
+                        weights["netE4label"], x, x_is_s2d=True))
+                )
+            if self.netE is not None and not m.no_encoder_binarization:
+                codes.append(to01(self.netE.encode(
+                    weights["netE"], self._vis_s2d(batch), x_is_s2d=True)))
+            if not m.no_generator_binarization:
+                concat = s2d_concat_interleave(self._g_input_s2d(weights, batch))
+                codes.append(to01(self.netG.encode(
+                    weights["netG"], concat, x_is_s2d=True)))
+            return codes
+
+        inputs = self._inputs(batch)
         if self.netE4label is not None and not m.no_label_encoder_binarization:
             codes.append(
                 to01(self.netE4label.encode(weights["netE4label"], inputs["input_label"]))

@@ -92,6 +92,36 @@ def s2d_realign_pad3(y: jax.Array) -> jax.Array:
     return jnp.concatenate(outs, axis=-1)
 
 
+def s2d_concat_interleave(comps) -> jax.Array:
+    """Channel-concat per-component s2d tensors into the GLOBAL s2d layout.
+
+    Given fine-domain tensors t_i of widths c_i, ``space_to_depth(concat(t_i))``
+    has channel index (sub, c_fine) over the concatenated width — which is NOT
+    the block concat of the individually-converted ``space_to_depth(t_i)``
+    (each sub-major over its own c_i). This interleaves the per-component
+    blocks back into the global order, bit-exactly:
+
+        s2d_concat_interleave([space_to_depth(t) for t in ts])
+            == space_to_depth(jnp.concatenate(ts, axis=-1))
+
+    Why it exists (PERF.md front-stage ledger): the fast path's trunk inputs
+    can be *born* in the s2d domain (one-hot of an s2d'd label map, an
+    upstream trunk's pre-depth_to_space tail output), skipping the
+    full-resolution relayout copies entirely; this is the one data-movement
+    step that stitches those components into the layout the s2d head-conv
+    weights (conv_s1_weights_to_s2d) expect. Pure slicing — XLA fuses it
+    into the single concat copy the input assembly pays anyway.
+    """
+    if len(comps) == 1:
+        return comps[0]
+    slices = []
+    for sub in range(4):
+        for t in comps:
+            c = t.shape[-1] // 4
+            slices.append(t[..., sub * c : (sub + 1) * c])
+    return jnp.concatenate(slices, axis=-1)
+
+
 def conv_s1_weights_to_s2d(w: np.ndarray) -> np.ndarray:
     """(k, k, Cin, Cout) stride-1 odd-k conv -> s2d-domain weights
     (k', k', 4Cin, 4Cout) with k' = k//2 + 1.

@@ -221,3 +221,93 @@ def test_fast_decode_from_codes_generator_bottleneck_after_res(rng):
     fast = FastCodec(cfg, params, dtype=jnp.float32)
     got = fast.decode_from_codes(codes)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+# -- s2d end-to-end mode (JPDSE_S2D_E2E): inputs born in the s2d domain,
+# trunk boundaries stay s2d, fronts enter through the pad-3 re-alignment.
+# The head convs consume bit-identical tensors, so e2e must match the
+# standard fast path EXACTLY (array_equal), not just within tolerance.
+
+
+def _e2e_pair(cfg, params, monkeypatch):
+    std = FastCodec(cfg, params, dtype=jnp.float32)
+    assert not std.s2d_e2e
+    monkeypatch.setenv("JPDSE_S2D_E2E", "1")
+    e2e = FastCodec(cfg, params, dtype=jnp.float32)
+    assert e2e.s2d_e2e
+    return std, e2e
+
+
+def test_fast_decode_s2d_e2e_bit_exact_learned(rng, monkeypatch):
+    """Fully-learned flagship shape (binarized netE4label + netE feeding G):
+    all three trunk boundaries ride the s2d domain."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    _, params, _ = init_codec(cfg, batch)
+    std, e2e = _e2e_pair(cfg, params, monkeypatch)
+    want = std.decode(batch)
+    got = e2e.decode(batch)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for g, w in zip(e2e.get_codes_shaped(batch), std.get_codes_shaped(batch)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fast_decode_s2d_e2e_raw_flagship(rng, monkeypatch):
+    """Raw one-hot semantics + compressed visuals straight into G (the
+    reference's flagship config): 3-component interleave (one-hot, edge,
+    visuals), no upstream trunks."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.codec.use_compressed = True
+    batch = tiny_batch(rng)
+    batch["compressed"] = batch["image"] + 0.01
+    codec = SemanticCodec(cfg)
+    inputs = prepare_inputs(
+        cfg, batch["label"], batch["instance"], batch["image"], batch["compressed"]
+    )
+    variables = codec.init(
+        {"params": jax.random.PRNGKey(0)}, inputs, method=SemanticCodec.decode
+    )
+    std, e2e = _e2e_pair(cfg, variables["params"], monkeypatch)
+    np.testing.assert_array_equal(
+        np.asarray(e2e.decode(batch)), np.asarray(std.decode(batch))
+    )
+
+
+def test_fast_decode_s2d_e2e_generator_binarized(rng, monkeypatch):
+    """G-bottleneck config: the encode path enters netG via front_s2d; the
+    deterministic sign sees bit-identical pre-activations."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=False,
+        bin_generator_before_res=True,
+    )
+    batch = tiny_batch(rng)
+    _, params, _ = init_codec(cfg, batch)
+    std, e2e = _e2e_pair(cfg, params, monkeypatch)
+    np.testing.assert_array_equal(
+        np.asarray(e2e.decode(batch)), np.asarray(std.decode(batch))
+    )
+    for g, w in zip(e2e.get_codes_shaped(batch), std.get_codes_shaped(batch)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fast_decode_s2d_e2e_no_instance(rng, monkeypatch):
+    """no_instance: the semantic input is the one-hot alone (single-component
+    interleave is the identity)."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+        no_instance=True,
+    )
+    batch = tiny_batch(rng)
+    _, params, _ = init_codec(cfg, batch)
+    std, e2e = _e2e_pair(cfg, params, monkeypatch)
+    np.testing.assert_array_equal(
+        np.asarray(e2e.decode(batch)), np.asarray(std.decode(batch))
+    )

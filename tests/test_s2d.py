@@ -199,3 +199,22 @@ def test_s2d_realign_pad3_bit_exact(rng, hw):
     np.testing.assert_array_equal(
         np.asarray(s2d_realign_pad3(y)), np.asarray(ref)
     )
+
+
+def test_s2d_concat_interleave_matches_fine_concat(rng):
+    """s2d_concat_interleave restores the global (sub, c) layout bit-exactly:
+    interleave([s2d(t_i)]) == s2d(concat(t_i)) for mixed component widths."""
+    from jpdse_tpu.ops.s2d import s2d_concat_interleave, space_to_depth
+
+    comps = [
+        jnp.asarray(rng.normal(size=(2, 8, 12, c)).astype(np.float32))
+        for c in (5, 1, 3)
+    ]
+    want = space_to_depth(jnp.concatenate(comps, axis=-1))
+    got = s2d_concat_interleave([space_to_depth(t) for t in comps])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # single component: identity
+    one = space_to_depth(comps[0])
+    np.testing.assert_array_equal(
+        np.asarray(s2d_concat_interleave([one])), np.asarray(one)
+    )
