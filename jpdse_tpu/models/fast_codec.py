@@ -440,7 +440,8 @@ class _FastTrunk:
         h = self.mid_up(w, h)
         return self.back(w, h, keep_s2d=keep_s2d) if self.has_back else h
 
-    def decode_from_code(self, w: Dict, code_pm1: jax.Array) -> jax.Array:
+    def decode_from_code(self, w: Dict, code_pm1: jax.Array,
+                         keep_s2d: bool = False) -> jax.Array:
         """Resume the trunk after the binarizer ({-1,+1} input) — the
         deploy-time decoder side (generator.py decode_from_code)."""
         if self.binarize == "none":
@@ -448,7 +449,7 @@ class _FastTrunk:
         h = code_pm1.astype(self.dtype)
         if self.binarize == "before_res":
             h = self.res_blocks(w, h)
-        return self.back(w, self.mid_up(w, h))
+        return self.back(w, self.mid_up(w, h), keep_s2d=keep_s2d)
 
     def encode(self, w: Dict, x: jax.Array, x_is_s2d: bool = False) -> jax.Array:
         if self.binarize == "none":
@@ -759,6 +760,8 @@ class FastCodec:
             return self.netG.decode_from_code(
                 weights["netG"], codes[0] * 2.0 - 1.0
             )
+        if self.s2d_e2e:
+            return self._decode_from_codes_s2d(weights, codes, side_batch)
         side_inputs = None
         if side_batch is not None:
             if side_batch.get("label") is None:
@@ -813,6 +816,66 @@ class FastCodec:
                 [input_label, feat.astype(input_label.dtype)], axis=-1
             )
         return self.netG(weights["netG"], concat)
+
+    def _decode_from_codes_s2d(
+        self,
+        weights: Dict,
+        codes: List[jax.Array],
+        side_batch: Optional[Dict[str, jax.Array]],
+    ) -> jax.Array:
+        """s2d-e2e deploy decoder (generator-unbinarized configs): code-fed
+        trunks exit pre-depth_to_space, raw side info assembles directly in
+        the s2d domain, and netG enters via front_s2d — the same boundary
+        elimination as decode_fn, from the bitstream content alone."""
+        m = self.cfg.model
+
+        def need_side(what):
+            if side_batch is None:
+                raise ValueError(
+                    f"decode_from_codes: {what} must ride as .jpds side info "
+                    "for this configuration"
+                )
+
+        i = 0
+        comps: List[jax.Array] = []
+        if self.netE4label is not None and not m.no_label_encoder_binarization:
+            comps.append(
+                self.netE4label.decode_from_code(
+                    weights["netE4label"], codes[i] * 2.0 - 1.0, keep_s2d=True
+                )
+            )
+            i += 1
+        elif not m.no_label:
+            need_side("raw semantics")
+            label_comps = self._label_comps_s2d(side_batch)
+            if self.netE4label is not None:
+                comps.append(
+                    self.netE4label(
+                        weights["netE4label"],
+                        s2d_concat_interleave(label_comps),
+                        x_is_s2d=True,
+                        keep_s2d=True,
+                    )
+                )
+            else:
+                comps.extend(label_comps)
+        if not m.no_feat:
+            if self.netE is not None and not m.no_encoder_binarization:
+                comps.append(
+                    self.netE.decode_from_code(
+                        weights["netE"], codes[i] * 2.0 - 1.0, keep_s2d=True
+                    )
+                )
+                i += 1  # keep the index math in lockstep with codec.py
+            else:
+                need_side("visual features (base-codec payload)")
+                v = self._vis_s2d(side_batch)
+                if self.netE is not None:
+                    v = self.netE(weights["netE"], v, x_is_s2d=True, keep_s2d=True)
+                comps.append(v)
+        return self.netG(
+            weights["netG"], s2d_concat_interleave(comps), x_is_s2d=True
+        )
 
     def decode_from_codes(
         self, codes: List[jax.Array], side_batch: Optional[Dict] = None

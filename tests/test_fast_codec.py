@@ -311,3 +311,49 @@ def test_fast_decode_s2d_e2e_no_instance(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(e2e.decode(batch)), np.asarray(std.decode(batch))
     )
+
+
+def test_fast_decode_from_codes_s2d_e2e_learned(rng, monkeypatch):
+    """Deploy decoder, fully-learned config: code-fed netE4label/netE exit
+    pre-d2s and netG enters via front_s2d — bit-exact vs the standard fast
+    deploy decoder."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    codes = codec.apply(
+        {"params": params}, inputs, method=SemanticCodec.get_codes_shaped
+    )
+    std, e2e = _e2e_pair(cfg, params, monkeypatch)
+    np.testing.assert_array_equal(
+        np.asarray(e2e.decode_from_codes(codes)),
+        np.asarray(std.decode_from_codes(codes)),
+    )
+
+
+def test_fast_decode_from_codes_s2d_e2e_raw_side(rng, monkeypatch):
+    """Deploy decoder, raw flagship config: everything rides as .jpds side
+    info (loader-shaped side_batch), assembled directly in the s2d domain."""
+    cfg = tiny_cfg(
+        no_label_encoding=True,
+        no_feat_encoding=True,
+        no_generator_binarization=True,
+    )
+    cfg.codec.use_compressed = True
+    batch = tiny_batch(rng)
+    batch["compressed"] = batch["image"] + 0.01
+    codec = SemanticCodec(cfg)
+    inputs = prepare_inputs(
+        cfg, batch["label"], batch["instance"], batch["image"], batch["compressed"]
+    )
+    variables = codec.init(
+        {"params": jax.random.PRNGKey(0)}, inputs, method=SemanticCodec.decode
+    )
+    std, e2e = _e2e_pair(cfg, variables["params"], monkeypatch)
+    want = std.decode_from_codes([], side_batch=batch)
+    got = e2e.decode_from_codes([], side_batch=batch)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # missing side info raises the same error in e2e mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="side info"):
+        e2e.decode_from_codes_fn(e2e.weights, [], None)
