@@ -167,6 +167,9 @@ def main():
     if args.fronts_only:
         # head-conv A/B: folded front (current head_fold mode) vs std front
         rec(f"fast_front[{fast.head_fold}]", fast.front, x_fine, w)
+        # s2d-e2e front: input arrives already in the s2d domain
+        # (JPDSE_S2D_E2E assembly) and enters via the pad-3 re-alignment
+        rec("fast_front_s2d", fast.front_s2d, S.space_to_depth(x_fine), w)
 
         def std_front(p, x):
             return gen.apply(
@@ -225,6 +228,7 @@ def main():
 
     # fast stages (weights as jit args)
     rec("fast_front", fast.front, x_fine, w)
+    rec("fast_front_s2d", fast.front_s2d, S.space_to_depth(x_fine), w)
     h1 = fast.front(w, x_fine)
     rec("fast_mid_down", fast.mid_down, h1, w)
     h2 = fast.mid_down(w, h1)
@@ -235,6 +239,8 @@ def main():
     rec("fast_mid_up", fast.mid_up, h2, w)
     h3 = fast.mid_up(w, h2)
     rec("fast_back", fast.back, h3, w)
+    rec("fast_back_s2d",
+        lambda w_, h: fast.back(w_, h, keep_s2d=True), h3, w)
 
     # standard-path equivalents (head+down0 at full res; last up + tail)
 
