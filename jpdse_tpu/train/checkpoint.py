@@ -45,6 +45,28 @@ def save_checkpoint(
         # saving device arrays leaked ~one full host copy of the state per
         # save (measured: a 390-epoch run grew to 70GB RSS over 28 saves and
         # was OOM-killed). One explicit fetch here, freed after the write.
+        #
+        # JPDSE_CKPT_FETCH_THREADS=N (default 1 = serial) fetches leaves
+        # through a thread pool: the relay's D2H path serializes ~15-30MB/s
+        # per stream, so a flagship save (~3GB of params + Adam moments)
+        # dominates the training loop's wall clock between val improvements;
+        # concurrent streams can aggregate if the relay multiplexes.
+        # Opt-in pending an on-chip A/B (the serial path is the measured,
+        # known-good default).
+        nthreads = int(os.environ.get("JPDSE_CKPT_FETCH_THREADS", "1"))
+        if nthreads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            leaves, treedef = jax.tree.flatten(tree)
+            idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+            if idx:
+                with ThreadPoolExecutor(nthreads) as ex:
+                    fetched = list(
+                        ex.map(lambda i: np.asarray(leaves[i]), idx)
+                    )
+                for i, v in zip(idx, fetched):
+                    leaves[i] = v
+            return jax.tree.unflatten(treedef, leaves)
         return jax.tree.map(
             lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
         )

@@ -70,3 +70,23 @@ def test_lr_set_get(rng):
     assert abs(get_lr(state) - cfg.optim.lr) < 1e-9
     state = set_lr(state, 1e-5)
     assert abs(get_lr(state) - 1e-5) < 1e-12
+
+
+def test_save_restore_threaded_fetch(tmp_path, rng, monkeypatch):
+    """JPDSE_CKPT_FETCH_THREADS>1 (thread-pooled D2H leaf fetches for the
+    relay) writes an identical checkpoint to the serial default."""
+    monkeypatch.setenv("JPDSE_CKPT_FETCH_THREADS", "4")
+    cfg, state = _make_state(rng)
+    save_checkpoint(str(tmp_path / "threaded"), state, epoch=2)
+    monkeypatch.setenv("JPDSE_CKPT_FETCH_THREADS", "1")
+    save_checkpoint(str(tmp_path / "serial"), state, epoch=2)
+    _, fresh = _make_state(rng)
+    a, _ = restore_checkpoint(str(tmp_path / "threaded"), fresh)
+    _, fresh2 = _make_state(rng)
+    b, _ = restore_checkpoint(str(tmp_path / "serial"), fresh2)
+    for x, y in zip(jax.tree.leaves(a.params_g), jax.tree.leaves(b.params_g)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(
+        jax.tree.leaves(a.opt_state_g), jax.tree.leaves(b.opt_state_g)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
