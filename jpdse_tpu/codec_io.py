@@ -149,20 +149,26 @@ def encode_idmap(arr: np.ndarray, cond: Optional[np.ndarray] = None) -> bytes:
         # RuntimeError = coder overflow (native.idmap_encode's worst-case
         # output cap, reachable only on near-random 32-bit maps, never on
         # real id maps) — such a map simply ships as PNG instead
+        # the two encodes overflow independently (separate try blocks): an
+        # unconditional-coder overflow must not skip the conditional attempt,
+        # which is typically 3-5x smaller and may well fit the cap
         try:
             rc = native.idmap_encode(arr.astype(np.int32))
             blob = IDRC_MAGIC + struct.pack("<II", *arr.shape) + rc
             if len(blob) < len(best):
                 best = blob
-            if cond is not None:
+        except RuntimeError:
+            pass
+        if cond is not None:
+            try:
                 rcx = native.idmap_encode(
                     arr.astype(np.int32), cond=np.asarray(cond).astype(np.int32)
                 )
                 blobx = IDRX_MAGIC + struct.pack("<II", *arr.shape) + rcx
                 if len(blobx) < len(best):
                     best = blobx
-        except RuntimeError:
-            pass
+            except RuntimeError:
+                pass
     return best
 
 
@@ -373,6 +379,11 @@ def unpack_full(data: bytes) -> Bitstream:
         if flags & 8:
             # label section was dropped at encode because the instance map
             # implies it (verified exactly there)
+            if side.instance is None:
+                raise ValueError(
+                    ".jpds side-info flags inconsistent: derived-label flag "
+                    "(bit 3) set without an instance section (bit 2)"
+                )
             side.label = derive_label_from_instance(side.instance)
         if flags & 4:
             (n_ext,) = struct.unpack("<B", take(1))

@@ -35,6 +35,7 @@ every batch (ctu/data/ctu_dataset.py:91-116 + torch DataLoader H2D).
 
 from __future__ import annotations
 
+import itertools
 from typing import Dict, Optional
 
 import jax
@@ -177,8 +178,13 @@ def maybe_val_cache(
         return decline("mesh sharding places batches per-shard")
     if jax.process_count() > 1:
         return decline("multi-host feeds per-rank shards")
+    # probe with the loader's own iterator and hand the probed batch plus
+    # the SAME iterator to CachedValBatches — the first val batch (image
+    # decode + preprocessing + base-codec round trip on a cold memo) is
+    # built exactly once, not once for the probe and again for the cache
+    it = iter(val_loader)
     try:
-        first = next(iter(val_loader))
+        first = next(it)
     except StopIteration:
         return decline("empty val set")
     per_batch = sum(
@@ -192,7 +198,7 @@ def maybe_val_cache(
             f"val set ~{per_batch * n / 1024**3:.2f}GB exceeds the "
             f"{max_gb}GB HBM budget"
         )
-    cache = CachedValBatches(val_loader, cap=cap)
+    cache = CachedValBatches(itertools.chain([first], it), cap=cap)
     print(
         f"val device_cache: {len(cache)} batches "
         f"({cache.nbytes / 1024**2:.0f}MB) resident on device; "

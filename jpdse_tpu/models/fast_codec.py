@@ -591,6 +591,17 @@ class FastCodec:
             and m.netG == "global"
             and not sharded
         )
+        if self.s2d_e2e and os.environ.get("JPDSE_HEAD_PALLAS", "0") != "0":
+            # the VMEM head kernel's front_s2d fallback would round-trip
+            # every trunk input through depth_to_space and back — combining
+            # the modes inverts the e2e saving into a net regression, so
+            # the e2e assembly defers to the explicit kernel request
+            print(
+                "[fast_codec] JPDSE_S2D_E2E disabled: JPDSE_HEAD_PALLAS is "
+                "set and the pallas head manages its own (fine-domain) "
+                "producer — combining them would add d2s/s2d round trips"
+            )
+            self.s2d_e2e = False
         self._jit_decode = None
         self._jit_codes_shaped = None
         self._jit_decode_codes = None

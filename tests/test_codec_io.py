@@ -379,3 +379,38 @@ def test_label_derived_from_instance(rng):
     assert len(data) == len(inst_only)
     label_blob, inst_blob, derived = codec_io.sem_side_blobs(label, inst)
     assert derived and label_blob is None and inst_blob is not None
+
+
+def test_inconsistent_derived_label_flag_raises(rng):
+    """A malformed v2 stream with the derived-label flag (bit 3) set but no
+    instance section (bit 2) must fail with a clean container error naming
+    the inconsistency, not an obscure cast failure on a None instance."""
+    coarse = rng.integers(0, 35, (16, 32))
+    label = np.repeat(np.repeat(coarse, 16, 0), 16, 1).astype(np.int32)
+    inst = np.where(label >= 20, label * 1000, label).astype(np.int32)
+    data = bytearray(codec_io.pack([], label.shape, codec_io.SideInfo(label=label, instance=inst)))
+    # codes=[]: flags byte sits at MAGIC(4)+BHH(5)+n_shapes(1)+payload_len(4)
+    flags_off = 14
+    assert data[flags_off] & 8, "fixture must be a derived-label stream"
+    data[flags_off] &= ~2  # claim no instance section, keep bit 3
+    with pytest.raises(ValueError, match="inconsistent"):
+        codec_io.unpack_full(bytes(data))
+
+
+@pytest.mark.skipif(not native.available(), reason="native coder unavailable")
+def test_uncond_overflow_still_tries_conditional(rng, monkeypatch):
+    """An unconditional-coder overflow must not skip the conditional (IDRX)
+    attempt, which is typically 3-5x smaller and may fit the output cap."""
+    real = native.idmap_encode
+
+    def uncond_overflows(arr, cond=None):
+        if cond is None:
+            raise RuntimeError("idmap coder overflow")
+        return real(arr, cond=cond)
+
+    monkeypatch.setattr(native, "idmap_encode", uncond_overflows)
+    coarse = rng.integers(0, 35, (16, 32))
+    label = np.repeat(np.repeat(coarse, 16, 0), 16, 1).astype(np.int32)
+    enc = codec_io.encode_idmap(label, cond=label)
+    assert enc[:4] == codec_io.IDRX_MAGIC
+    np.testing.assert_array_equal(codec_io.decode_idmap(enc, cond=label), label)

@@ -216,3 +216,32 @@ def test_watchdog_chunked_resume(tmp_path):
     assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
     assert "resuming from latest-state checkpoint" in r2.stdout
     assert f"starting from epoch {first_stop + 2}" in r2.stdout
+
+
+def test_val_cache_builds_each_batch_once():
+    """maybe_val_cache probes the loader for its per-batch size, then hands
+    the probed batch + the SAME iterator to CachedValBatches — the first
+    val batch must not be built twice (regression: the probe used to
+    next(iter(loader)) and then re-iterate from scratch)."""
+    from jpdse_tpu.data.device_cache import maybe_val_cache
+
+    cfg = train_cfg()
+    cfg.is_train = False
+    loader = create_dataloader(cfg)
+    ds = loader.dataset
+    n_items = len(ds)
+    calls = {"n": 0}
+    orig = type(ds).__getitem__
+
+    def counting(self, idx, *a, **k):
+        calls["n"] += 1
+        return orig(self, idx, *a, **k)
+
+    type(ds).__getitem__ = counting
+    try:
+        cache = maybe_val_cache(loader, cfg)
+    finally:
+        type(ds).__getitem__ = orig
+    assert cache is not None
+    assert len(cache) == len(loader)
+    assert calls["n"] == n_items, f"each val item must be built exactly once, got {calls['n']}"

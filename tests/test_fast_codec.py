@@ -357,3 +357,18 @@ def test_fast_decode_from_codes_s2d_e2e_raw_side(rng, monkeypatch):
 
     with _pytest.raises(ValueError, match="side info"):
         e2e.decode_from_codes_fn(e2e.weights, [], None)
+
+
+def test_s2d_e2e_defers_to_pallas_head(rng, monkeypatch, capsys):
+    """JPDSE_S2D_E2E + JPDSE_HEAD_PALLAS would round-trip every trunk input
+    through depth_to_space and back (front_s2d's pallas fallback), inverting
+    the e2e saving — the e2e assembly must disable itself (with a printed
+    reason) when the pallas head kernel is explicitly requested."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    _, params, _ = init_codec(cfg, batch)
+    monkeypatch.setenv("JPDSE_S2D_E2E", "1")
+    monkeypatch.setenv("JPDSE_HEAD_PALLAS", "force")
+    fc = FastCodec(cfg, params, dtype=jnp.float32)
+    assert not fc.s2d_e2e
+    assert "JPDSE_S2D_E2E disabled" in capsys.readouterr().out

@@ -28,6 +28,11 @@ VAL_INT=${VAL_INT:-25}
 QUALITY=${QUALITY:-30}
 BATCH=${BATCH:-1}
 FIX_GLOBAL=${FIX_GLOBAL:-50}
+# phase-lib stall-guard contract: recipes whose steps-per-epoch differ from
+# the flagship 22-image/batch-2 shape (11 log lines/epoch) must export their
+# own LINES_PER_EPOCH — at batch 1 the 22-image train split logs 22
+# lines/epoch
+export LINES_PER_EPOCH=${LINES_PER_EPOCH:-$(( 22 / BATCH ))}
 
 CFG="--use_compressed --ext heif --quality ${QUALITY} \
   --no_label_encoding --no_feat_encoding --no_generator_binarization \
