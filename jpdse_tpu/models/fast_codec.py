@@ -579,7 +579,11 @@ class FastCodec:
         # edge/visual channels, upstream tails kept pre-depth_to_space) and
         # enter each front through the one-pass pad-3 re-alignment
         # (_FastTrunk.front_s2d) — eliminating every full-resolution
-        # pad+relayout producer copy between stages. Bit-exact: the head
+        # pad+relayout producer copy between stages. MEASURED NEGATIVE
+        # (PERF.md round-3c): 36.32 vs 38.33 MP/s/chip at the bench
+        # default — the s2d-domain assembly's own movement (interleave
+        # stitch, 140-channel one-hot) costs more than the relayouts it
+        # removes, so the mode stays env-opt-in. Bit-exact: the head
         # convs consume the identical tensors (s2d_concat_interleave
         # restores the global (sub, c) layout, so the trunk weights are
         # unchanged and both front paths stay valid). Global trunks only

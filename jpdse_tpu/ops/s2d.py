@@ -109,8 +109,14 @@ def s2d_concat_interleave(comps) -> jax.Array:
     upstream trunk's pre-depth_to_space tail output), skipping the
     full-resolution relayout copies entirely; this is the one data-movement
     step that stitches those components into the layout the s2d head-conv
-    weights (conv_s1_weights_to_s2d) expect. Pure slicing — XLA fuses it
-    into the single concat copy the input assembly pays anyway.
+    weights (conv_s1_weights_to_s2d) expect.
+
+    Measured (PERF.md round-3c): the end-to-end mode REGRESSES 38.33 ->
+    36.32 MP/s/chip at the bench default — this stitch is a 4*len(comps)-way
+    strided slice-concat at full resolution that materializes where the
+    fine-domain assembly was a contiguous copy XLA fused into the pad+s2d
+    producer. Kept (with the deploy decoder's layout algebra pinned by
+    bit-exactness tests) as the recorded negative behind JPDSE_S2D_E2E.
     """
     if len(comps) == 1:
         return comps[0]
