@@ -38,7 +38,7 @@ def str2bool(s) -> bool:
     raise argparse.ArgumentTypeError(f"cannot interpret {s} as bool")
 
 
-def _leaf_fields(cls, prefix: str) -> List[Tuple[str, object, str]]:
+def _leaf_fields(cls, prefix: str) -> List[Tuple[str, object, str, str]]:
     out = []
     for f in dataclasses.fields(cls):
         default = (
@@ -49,14 +49,17 @@ def _leaf_fields(cls, prefix: str) -> List[Tuple[str, object, str]]:
         if dataclasses.is_dataclass(default):
             out.extend(_leaf_fields(type(default), f"{prefix}{f.name}."))
         else:
-            out.append((f"{prefix}{f.name}", default, str(f.type)))
+            out.append(
+                (f"{prefix}{f.name}", default, str(f.type),
+                 f.metadata.get("help", ""))
+            )
     return out
 
 
-def build_flag_index() -> Dict[str, Tuple[str, object, str]]:
-    """flag name -> (dotted config path, default value, type annotation)."""
-    index: Dict[str, Tuple[str, object, str]] = {}
-    for dotted, default, typestr in _leaf_fields(Config, ""):
+def build_flag_index() -> Dict[str, Tuple[str, object, str, str]]:
+    """flag name -> (dotted config path, default, type annotation, help)."""
+    index: Dict[str, Tuple[str, object, str, str]] = {}
+    for dotted, default, typestr, help_ in _leaf_fields(Config, ""):
         parts = dotted.split(".")
         name = parts[-1]
         # preprocess blocks: keep reference naming (val_/test_ prefixes)
@@ -64,7 +67,7 @@ def build_flag_index() -> Dict[str, Tuple[str, object, str]]:
             name = parts[-2].split("_")[0] + "_" + name
         if name in index:
             raise RuntimeError(f"ambiguous flag --{name}: {index[name][0]} vs {dotted}")
-        index[name] = (dotted, default, typestr)
+        index[name] = (dotted, default, typestr, help_)
     return index
 
 
@@ -73,8 +76,11 @@ def make_parser() -> Tuple[argparse.ArgumentParser, Dict[str, Tuple[str, object]
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
-    for name, (dotted, default, typestr) in sorted(index.items()):
-        kwargs: dict = {"default": None, "help": dotted}
+    for name, (dotted, default, typestr, help_) in sorted(index.items()):
+        kwargs: dict = {
+            "default": None,
+            "help": f"{dotted} — {help_}" if help_ else dotted,
+        }
         if isinstance(default, bool):
             kwargs.update(type=str2bool, nargs="?", const=True)
         elif isinstance(default, int):
@@ -116,7 +122,7 @@ def parse_config(argv: Optional[List[str]] = None, is_train: bool = True) -> Con
         cfg = Config()
 
     explicitly_set = []
-    for name, (dotted, _, _t) in index.items():
+    for name, (dotted, _, _t, _h) in index.items():
         val = getattr(args, name)
         if val is not None:
             set_by_path(cfg, dotted, val)
@@ -141,7 +147,7 @@ def parse_config(argv: Optional[List[str]] = None, is_train: bool = True) -> Con
 def print_config(cfg: Config, title: str = "Options"):
     defaults = Config()
     lines = [f"----------------- {title} ---------------"]
-    for dotted, default, _t in _leaf_fields(Config, ""):
+    for dotted, default, _t, _h in _leaf_fields(Config, ""):
         val = get_by_path(cfg, dotted)
         try:
             dflt = get_by_path(defaults, dotted)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Tuple
 
@@ -113,6 +114,123 @@ class DataConfig:
         return self.num_labels + 1 if self.contain_dontcare_label else self.num_labels
 
 
+def _fp_field(default, env: str, help_: str):
+    return field(default=default, metadata={"env": env, "help": help_})
+
+
+@dataclass
+class FastPathConfig:
+    """Fast-inference-path variant knobs (models/fast_codec.py).
+
+    Every measured fast-path variant is reachable here, so it round-trips
+    through opt.json and shows up in ``--help``. Each field also has a
+    ``JPDSE_*`` env override (same value spellings) that takes precedence
+    when the variable is set — the mechanism on-chip A/B sweeps use;
+    :meth:`resolved` applies the overrides. Defaults are the measured
+    winners on v5e (full ledger: PERF.md); per-field notes quote the key
+    numbers so ``--help`` documents why each default is what it is.
+    """
+
+    s2d_e2e: bool = _fp_field(
+        False, "JPDSE_S2D_E2E",
+        "assemble trunk inputs in the s2d domain end-to-end (no d2s/pad/s2d "
+        "between stages). Measured 36.32 vs 38.33 MP/s at batch 24 — the "
+        "interleave stitch + s2d one-hot cost more than the relayouts they "
+        "remove; default off. Global netG, unsharded only.")
+    head_pallas: str = _fp_field(
+        "0", "JPDSE_HEAD_PALLAS",
+        "'1': head 7x7 conv via the VMEM-im2col Pallas kernel for K-starved "
+        "heads (s2d input channels >= 64); 'force': also for tiny heads. "
+        "Measured regression (netG front 23.9 vs 20.7 ms at batch 8 — XLA's "
+        "windowed conv emitter wins); default '0'.")
+    head_fold: bool = _fp_field(
+        False, "JPDSE_HEAD_FOLD",
+        "explicit K-alignment tap folds for the head convs (ops/s2d.py "
+        "fold_w_taps/fold_hw_taps). Measured regressions everywhere (netG "
+        "front 27.0 vs 20.8, netE 26.8 vs 7.0 ms): XLA already folds taps "
+        "into the MXU K dimension without the relayout; default off.")
+    tail_split: bool = _fp_field(
+        True, "JPDSE_TAIL_SPLIT",
+        "tap-split N-starved tail convs into a 1x1 matmul + fused shift-add "
+        "(12 of 128 output lanes -> 192). Measured win: netG fast back "
+        "19.37 vs 22.28 ms at batch 8; default on.")
+    tail_wgroup: int = _fp_field(
+        2, "JPDSE_TAIL_WGROUP",
+        "width taps kept per split group in the 'w' tail split (1 = widest "
+        "N, 2 = half the intermediate HBM traffic). Measured: 11.75 (2) vs "
+        "12.50 ms (1) for the netE4label tail; default 2.")
+    fused_realign: str = _fp_field(
+        "auto", "JPDSE_FUSED_REALIGN",
+        "grid re-alignment (s2d(pad3(d2s(x)))) before 7x7 tails: 'auto' = "
+        "Pallas one-pass kernel on TPU (5.03 vs 8.05 ms composition; "
+        "netE4label back 27.4 -> 17.5), '0' = jnp composition (the only "
+        "sharded-safe form, auto-selected under a mesh), 'xla'/'1' = "
+        "slice-concat re-expression (15.2 ms, measured negative).")
+    front_realign: str = _fp_field(
+        "0", "JPDSE_FRONT_REALIGN",
+        "one-pass pad3+s2d entry into the head conv: 'pallas'/'auto' = "
+        "Pallas kernel. Measured 2.3x regression (48.1 vs 20.7 ms netG "
+        "front — it breaks XLA's pad-into-conv producer fusion); default "
+        "'0' (jnp pad + s2d).")
+    norm_shift: bool = _fp_field(
+        False, "JPDSE_NORM_SHIFT",
+        "sample-shifted variance in the s2d InstanceNorm for pathological "
+        "|mean|/std inputs. Measured 32.0 vs 33.9 MP/s (breaks the stats-"
+        "pass fusion) and unneeded at trunk conditioning (~1e-12 relative "
+        "error); default off.")
+
+    VALID = {
+        "head_pallas": ("0", "1", "force"),
+        "fused_realign": ("auto", "0", "1", "xla", "pallas"),
+        "front_realign": ("0", "auto", "pallas"),
+    }
+
+    def resolved(self) -> "FastPathConfig":
+        """Copy with JPDSE_* env overrides applied (env beats config when
+        set — the A/B sweep mechanism; resolution happens once, at
+        FastCodec construction, never at trace time)."""
+        out = copy.copy(self)
+        for f in dataclasses.fields(self):
+            env = f.metadata.get("env")
+            if not env or env not in os.environ:
+                continue
+            raw = os.environ[env]
+            cur = getattr(self, f.name)
+            if isinstance(cur, bool):
+                setattr(out, f.name, raw == "1")
+            elif isinstance(cur, int):
+                setattr(out, f.name, int(raw))
+            else:
+                setattr(out, f.name, raw)
+        return out
+
+    def validate(self, check_combos: bool = True):
+        """Domain checks always; combo checks only for config-sourced values
+        (``check_combos=False`` is used by FastCodec on the env-RESOLVED
+        copy, where invalid combos defer with a warning instead of raising —
+        an env sweep shouldn't abort a run the config itself allows)."""
+        for name, valid in self.VALID.items():
+            if getattr(self, name) not in valid:
+                raise ValueError(
+                    f"model.fast.{name} must be one of {valid}, "
+                    f"got {getattr(self, name)!r}")
+        if self.tail_wgroup < 1:
+            raise ValueError("model.fast.tail_wgroup must be >= 1")
+        if not check_combos:
+            return
+        if self.s2d_e2e and self.head_pallas == "force":
+            # the VMEM head kernel manages its own fine-domain producer;
+            # combining it with the s2d-e2e assembly would round-trip every
+            # trunk input through depth_to_space and back (a net regression).
+            # head_pallas='1' is allowed: whether the kernel is actually
+            # selected depends on channel widths, and FastCodec defers
+            # s2d_e2e at runtime only when it is (models/fast_codec.py).
+            raise ValueError(
+                "model.fast.s2d_e2e cannot be combined with "
+                "head_pallas='force' (the VMEM head kernel requires the "
+                "fine-domain producer s2d_e2e eliminates)")
+
+
 @dataclass
 class ModelConfig:
     """Architecture knobs (pix2pixHD_model.py:24-101)."""
@@ -192,6 +310,8 @@ class ModelConfig:
     # (tests/test_fast_codec.py); requires the global/ungrouped/instance-norm
     # family and a single device (falls back to the standard path otherwise).
     fast_inference: bool = False
+    # fast-path variant knobs (every field env-overridable for A/B sweeps)
+    fast: FastPathConfig = field(default_factory=FastPathConfig)
 
 
 @dataclass
@@ -339,6 +459,7 @@ class Config:
             raise ValueError("sem_masking requires features and labels (pix2pixHD_model.py:115)")
         if len(c.quality) > 1 and not m.sem_masking:
             raise ValueError("per-channel quality list requires sem_masking (pix2pixHD_model.py:342-343)")
+        m.fast.validate()
         if self.optim.remat_granularity not in ("block", "decode"):
             # a typo here would otherwise silently disable generator remat
             # while remat=True still checkpoints D/VGG — surfacing as an
@@ -472,6 +593,7 @@ _NESTED = {
     "optim": OptimConfig,
     "codec": CodecConfig,
     "parallel": ParallelConfig,
+    "fast": FastPathConfig,
     "preprocess": PreprocessConfig,
     "val_preprocess": PreprocessConfig,
     "test_preprocess": PreprocessConfig,

@@ -25,14 +25,13 @@ whose downloads run ~100KB/s).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jpdse_tpu.config import Config
+from jpdse_tpu.config import Config, FastPathConfig
 from jpdse_tpu.models.codec import prepare_inputs
 from jpdse_tpu.ops.semantics import instance_edges
 from jpdse_tpu.models.layers import avg_pool_3s2, instance_norm, reflect_pad
@@ -70,9 +69,15 @@ class _FastTrunk:
     """Transformed weights + forward for one GlobalGenerator/Encoder trunk."""
 
     def __init__(self, params: Dict, n_down: int, n_blocks: int, binarize: str,
-                 dtype, sharded: bool = False):
+                 dtype, sharded: bool = False,
+                 fp: Optional[FastPathConfig] = None):
         """binarize: 'none' | 'mid' (encoder: between down and up) |
         'before_res' | 'after_res' (generator bottleneck).
+
+        ``fp``: resolved fast-path variant knobs (config.FastPathConfig —
+        every field env-overridable; FastCodec passes its resolved copy).
+        None builds a default-config copy with env overrides applied, for
+        direct trunk construction in tools/benches.
 
         ``sharded``: the trunk will run on mesh-sharded inputs. pallas_call
         has no GSPMD partitioning rule, so the 'auto' grid re-alignment
@@ -91,6 +96,7 @@ class _FastTrunk:
         self.binarize = binarize
         self.dtype = dtype
         self.sharded = sharded
+        self.fp = fp if fp is not None else FastPathConfig().resolved()
         p = params
         self.has_front = "head" in p
         self.has_back = "tail" in p
@@ -111,22 +117,22 @@ class _FastTrunk:
             # MEASURED REGRESSION (v5e, batch 8, 1024x512): netG front 27.0 ms
             # folded vs 20.7 unfolded; netE hw-fold 26.8 vs 14.1 std — XLA's conv
             # lowering already handles the per-tap K padding better than the
-            # fold's extra relayout costs. Default OFF; JPDSE_HEAD_FOLD=1 enables
+            # fold's extra relayout costs. Default OFF; fast.head_fold enables
             # (w-fold for c4 >= 128, full hw-fold below).
-            # JPDSE_HEAD_PALLAS=1: do the w-tap fold in VMEM instead
+            # fast.head_pallas='1': do the w-tap fold in VMEM instead
             # (ops/pallas/head_conv.py) — the per-tap K (c4, padded to
             # 128-lane MXU tiles: ~62% useful on the flagship) becomes a
             # per-kernel-row K = 4*c4 contraction with no HBM relayout.
             # Only for heads that are actually K-starved: at tiny c4 the
             # conv is output-HBM-bound, not MXU-bound, and the kernel's
             # per-step overheads lose (netE c4=12: 10.6 ms Pallas vs 7.0
-            # XLA at batch 8; JPDSE_HEAD_PALLAS=force overrides the gate).
+            # XLA at batch 8; head_pallas='force' overrides the gate).
             # No GSPMD rule -> sharded runs keep the XLA conv.
-            _hp_env = os.environ.get("JPDSE_HEAD_PALLAS", "0")
+            _hp = self.fp.head_pallas
             if (
-                _hp_env != "0"
+                _hp != "0"
                 and not sharded
-                and (c4 >= 64 or _hp_env == "force")
+                and (c4 >= 64 or _hp == "force")
             ):
                 self.head_fold = "pallas"
                 w["head_w"] = jnp.asarray(
@@ -135,7 +141,7 @@ class _FastTrunk:
                     ),
                     dtype,
                 )
-            elif os.environ.get("JPDSE_HEAD_FOLD", "0") == "0":
+            elif not self.fp.head_fold:
                 self.head_fold = "none"
                 w["head_w"] = jnp.asarray(wp_head, dtype)
             elif c4 >= 128:
@@ -209,13 +215,13 @@ class _FastTrunk:
             return n / (-(-n // 128) * 128)
 
         self.tail_split = "none"
-        # JPDSE_TAIL_WGROUP: width taps kept inside the kernel per split
+        # fast.tail_wgroup: width taps kept inside the kernel per split
         # group (1 = per-tap split, N = kw*Cout; 2 = pairs, N = kw/2*Cout
         # with half the intermediate-z HBM traffic). Default 2: measured
         # 11.75 vs 12.50 ms for the netE4label tail at batch 8 full res
         # (75% lane fill but half the z traffic beats 90% fill).
-        self.tail_wgroup = int(os.environ.get("JPDSE_TAIL_WGROUP", "2"))
-        if os.environ.get("JPDSE_TAIL_SPLIT", "1") == "1":
+        self.tail_wgroup = self.fp.tail_wgroup
+        if self.fp.tail_split:
             if ntaps * cout4 <= 256:
                 self.tail_split = "full"  # e.g. RGB tails: N 12 -> 192
             elif _pad128_eff(self.tail_kp * cout4) > _pad128_eff(cout4) + 0.1:
@@ -241,7 +247,7 @@ class _FastTrunk:
         x = x.astype(self.dtype)
         if self.head_fold == "pallas":
             h = self._front_head_pallas(w, x)
-            h = jax.nn.relu(instance_norm_s2d(h))
+            h = jax.nn.relu(instance_norm_s2d(h, use_shift=self.fp.norm_shift))
             h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
             h = conv_valid(h, w["down0_w"]) + w["down0_b"]
             return jax.nn.relu(instance_norm(h))
@@ -253,11 +259,11 @@ class _FastTrunk:
         # negative ledger): unlike the back stage's three passes, the
         # front's reflect-pad is fused by XLA into the following conv's
         # input pipeline, and the Pallas call breaks that producer fusion.
-        # JPDSE_FRONT_REALIGN=pallas re-enables for re-measurement
+        # fast.front_realign='pallas' re-enables for re-measurement
         # (tools/bench_fast_stages.py --fronts-only). Same mesh caveat
         # as the back kernel: pallas_call has no GSPMD partitioning rule,
         # so sharded runs keep the jnp composition.
-        how = os.environ.get("JPDSE_FRONT_REALIGN", "0")
+        how = self.fp.front_realign
         if how in ("auto", "pallas") and not self.sharded:
             from jpdse_tpu.ops.pallas.realign import pallas_realign_supported
 
@@ -275,7 +281,7 @@ class _FastTrunk:
         elif self.head_fold == "hw":
             xp = fold_hw_taps(xp, self.head_kp, self.head_kp)
         h = conv_valid(xp, w["head_w"]) + w["head_b"]
-        h = jax.nn.relu(instance_norm_s2d(h))
+        h = jax.nn.relu(instance_norm_s2d(h, use_shift=self.fp.norm_shift))
         h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
         h = conv_valid(h, w["down0_w"]) + w["down0_b"]
         return jax.nn.relu(instance_norm(h))
@@ -362,7 +368,7 @@ class _FastTrunk:
         the slice-concat form). Used before every trunk's 7x7 tail and, in
         s2d-e2e mode, before the head conv of a trunk whose input arrives
         already in the s2d domain (front_s2d)."""
-        how = os.environ.get("JPDSE_FUSED_REALIGN", "auto")
+        how = self.fp.fused_realign
         if how == "auto":
             if self.sharded:
                 # pallas_call has no GSPMD partitioning rule — under a mesh
@@ -401,7 +407,7 @@ class _FastTrunk:
         elif self.head_fold == "hw":
             xp = fold_hw_taps(xp, self.head_kp, self.head_kp)
         h = conv_valid(xp, w["head_w"]) + w["head_b"]
-        h = jax.nn.relu(instance_norm_s2d(h))
+        h = jax.nn.relu(instance_norm_s2d(h, use_shift=self.fp.norm_shift))
         h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
         h = conv_valid(h, w["down0_w"]) + w["down0_b"]
         return jax.nn.relu(instance_norm(h))
@@ -413,7 +419,7 @@ class _FastTrunk:
         front (s2d-e2e mode)."""
         hp = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
         y = conv_valid(hp, w["uplast_w"]) + w["uplast_b"]
-        y = jax.nn.relu(instance_norm_s2d(y))
+        y = jax.nn.relu(instance_norm_s2d(y, use_shift=self.fp.norm_shift))
         yp = self._realign(y)
         if self.tail_split == "full":
             t = conv_tap_split(yp, w["tail_w"], self.tail_kp, self.tail_kp)
@@ -475,12 +481,13 @@ class _FastLocalG:
     here (the enhancer's head/tail run at 2x the global config's
     resolution)."""
 
-    def __init__(self, params: Dict, m, dtype, sharded: bool = False):
+    def __init__(self, params: Dict, m, dtype, sharded: bool = False,
+                 fp: Optional[FastPathConfig] = None):
         self.dtype = dtype
         self.n_local = m.n_local_enhancers
         self.glob = _FastTrunk(
             params["global"], m.n_downsample_global, m.n_blocks_global,
-            "none", dtype, sharded=sharded,
+            "none", dtype, sharded=sharded, fp=fp,
         )
         self.downs: List[_FastTrunk] = []
         self.ups: List[_FastTrunk] = []
@@ -488,14 +495,14 @@ class _FastLocalG:
         for n in range(1, self.n_local + 1):
             pd = params[f"local{n}_down"]
             down = _FastTrunk({"head": pd["c7"], "down0": pd["d1"]},
-                              1, 0, "none", dtype, sharded=sharded)
+                              1, 0, "none", dtype, sharded=sharded, fp=fp)
             pu = params[f"local{n}_up"]
             up_p = {k: v for k, v in pu.items() if k.startswith("res")}
             up_p["up0"] = pu["up"]
             if "tail" in pu:  # only the final enhancer has one
                 up_p["tail"] = pu["tail"]
             up = _FastTrunk(up_p, 1, m.n_blocks_local, "none", dtype,
-                            sharded=sharded)
+                            sharded=sharded, fp=fp)
             self.downs.append(down)
             self.ups.append(up)
             w[f"down{n}"] = down.weights
@@ -540,6 +547,13 @@ class FastCodec:
                 "configurations; other configs use SemanticCodec"
             )
         self.cfg = cfg
+        # fast-path variant knobs: config fields with env overrides applied
+        # (config.FastPathConfig.resolved — resolution happens HERE, once;
+        # no trace-time env reads). Domain-checked; invalid combos from env
+        # sweeps defer below with a warning rather than raising.
+        fp = m.fast.resolved()
+        fp.validate(check_combos=False)
+        self.fp = fp
         dtype = dtype or (
             jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
         )
@@ -549,32 +563,33 @@ class FastCodec:
         if m.netG == "local":
             # local enhancers never binarize (codec.py raises), so the
             # encode/decode_from_code trunk surface is not needed here
-            self.netG = _FastLocalG(params_g["netG"], m, dtype, sharded=sharded)
+            self.netG = _FastLocalG(params_g["netG"], m, dtype,
+                                    sharded=sharded, fp=fp)
         else:
             self.netG = _FastTrunk(
                 params_g["netG"], m.n_downsample_global, m.n_blocks_global,
-                g_bin, dtype, sharded=sharded,
+                g_bin, dtype, sharded=sharded, fp=fp,
             )
         self.netE = None
         if cfg.use_netE:
             self.netE = _FastTrunk(
                 params_g["netE"], m.n_downsample_E, 0,
                 "mid" if not m.no_encoder_binarization else "none", dtype,
-                sharded=sharded,
+                sharded=sharded, fp=fp,
             )
         self.netE4label = None
         if cfg.use_netE4label:
             self.netE4label = _FastTrunk(
                 params_g["netE4label"], m.n_downsample_E4label, 0,
                 "mid" if not m.no_label_encoder_binarization else "none", dtype,
-                sharded=sharded,
+                sharded=sharded, fp=fp,
             )
         self.weights = {"netG": self.netG.weights}
         if self.netE is not None:
             self.weights["netE"] = self.netE.weights
         if self.netE4label is not None:
             self.weights["netE4label"] = self.netE4label.weights
-        # s2d end-to-end mode (JPDSE_S2D_E2E): assemble the trunk inputs
+        # s2d end-to-end mode (fast.s2d_e2e / JPDSE_S2D_E2E): assemble the trunk inputs
         # directly in the s2d domain (one-hot of the s2d'd label map, s2d'd
         # edge/visual channels, upstream tails kept pre-depth_to_space) and
         # enter each front through the one-pass pad-3 re-alignment
@@ -590,20 +605,25 @@ class FastCodec:
         # (the LocalEnhancer pyramid needs the fine input for its
         # avg-pool levels); the sharded path keeps the fine assembly whose
         # d2s/pad/s2d ops GSPMD partitions with automatic halo exchanges.
-        self.s2d_e2e = (
-            os.environ.get("JPDSE_S2D_E2E", "0") == "1"
-            and m.netG == "global"
-            and not sharded
-        )
-        if self.s2d_e2e and os.environ.get("JPDSE_HEAD_PALLAS", "0") != "0":
+        self.s2d_e2e = fp.s2d_e2e and m.netG == "global" and not sharded
+        if self.s2d_e2e and any(
+            t.head_fold == "pallas"
+            for t in (self.netG, self.netE, self.netE4label)
+            if t is not None
+        ):
             # the VMEM head kernel's front_s2d fallback would round-trip
             # every trunk input through depth_to_space and back — combining
             # the modes inverts the e2e saving into a net regression, so
-            # the e2e assembly defers to the explicit kernel request
+            # the e2e assembly defers to the kernel request. Gated on the
+            # EFFECTIVE per-trunk decision (head_fold == 'pallas'), not the
+            # raw head_pallas knob: with head_pallas='1' and every head
+            # below the c4>=64 bar, the trunks keep the XLA conv and
+            # s2d_e2e stays usable. (The config-level force pair is
+            # rejected earlier, in Config.validate.)
             print(
-                "[fast_codec] JPDSE_S2D_E2E disabled: JPDSE_HEAD_PALLAS is "
-                "set and the pallas head manages its own (fine-domain) "
-                "producer — combining them would add d2s/s2d round trips"
+                "[fast_codec] s2d_e2e (JPDSE_S2D_E2E) disabled: the pallas "
+                "head kernel manages its own (fine-domain) producer — "
+                "combining them would add d2s/s2d round trips"
             )
             self.s2d_e2e = False
         self._jit_decode = None

@@ -351,7 +351,9 @@ def conv_tap_split_w(
     return out.astype(x.dtype)
 
 
-def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+def instance_norm_s2d(
+    x: jax.Array, eps: float = 1e-5, use_shift: "bool | None" = None
+) -> jax.Array:
     """InstanceNorm over the *fine* (H, W) extent of an s2d tensor: stats are
     shared across the 4 sub-position groups of each original channel.
 
@@ -369,12 +371,17 @@ def instance_norm_s2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     MP/s e2e (v5e, batch 16). Default OFF: trunk activations sit right
     after an InstanceNorm'd conv, where |mean|/std is O(10) and the fp32
     error is ~1e-12 relative (validated end-to-end at ~1e-7 dB vs the torch
-    fp32 stack, BASELINE.md); enable the shift for pathological inputs."""
+    fp32 stack, BASELINE.md); enable the shift for pathological inputs.
+
+    ``use_shift``: explicit selection (config.FastPathConfig.norm_shift,
+    threaded by the fast-path trunks); None falls back to the env var."""
     b, h, w, c4 = x.shape
     c = c4 // 4
     x32 = x.astype(jnp.float32)
     n = h * w * 4
-    if os.environ.get("JPDSE_NORM_SHIFT", "0") == "1":
+    if use_shift is None:
+        use_shift = os.environ.get("JPDSE_NORM_SHIFT", "0") == "1"
+    if use_shift:
         shift = jax.lax.stop_gradient(x32[:, :1, :1, :c])  # (b, 1, 1, c)
         d = x32 - jnp.tile(shift, (1, 1, 1, 4))
     else:

@@ -360,10 +360,10 @@ def test_fast_decode_from_codes_s2d_e2e_raw_side(rng, monkeypatch):
 
 
 def test_s2d_e2e_defers_to_pallas_head(rng, monkeypatch, capsys):
-    """JPDSE_S2D_E2E + JPDSE_HEAD_PALLAS would round-trip every trunk input
+    """s2d_e2e + an EFFECTIVE pallas head would round-trip every trunk input
     through depth_to_space and back (front_s2d's pallas fallback), inverting
     the e2e saving — the e2e assembly must disable itself (with a printed
-    reason) when the pallas head kernel is explicitly requested."""
+    reason) when any trunk actually selects the pallas head kernel."""
     cfg = tiny_cfg(no_generator_binarization=True)
     batch = tiny_batch(rng)
     _, params, _ = init_codec(cfg, batch)
@@ -371,4 +371,86 @@ def test_s2d_e2e_defers_to_pallas_head(rng, monkeypatch, capsys):
     monkeypatch.setenv("JPDSE_HEAD_PALLAS", "force")
     fc = FastCodec(cfg, params, dtype=jnp.float32)
     assert not fc.s2d_e2e
-    assert "JPDSE_S2D_E2E disabled" in capsys.readouterr().out
+    assert "s2d_e2e (JPDSE_S2D_E2E) disabled" in capsys.readouterr().out
+
+
+def test_s2d_e2e_survives_ineffective_pallas_request(rng, monkeypatch, capsys):
+    """head_pallas='1' below the c4>=64 bar selects NO pallas head (the
+    trunks keep the XLA conv), so s2d_e2e must stay enabled — the gate keys
+    on the effective per-trunk decision, not the raw knob."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    batch = tiny_batch(rng)
+    _, params, _ = init_codec(cfg, batch)
+    monkeypatch.setenv("JPDSE_S2D_E2E", "1")
+    monkeypatch.setenv("JPDSE_HEAD_PALLAS", "1")
+    fc = FastCodec(cfg, params, dtype=jnp.float32)
+    assert all(
+        t.head_fold != "pallas"
+        for t in (fc.netG, fc.netE, fc.netE4label) if t is not None
+    ), "tiny trunks should be below the pallas-head channel bar"
+    assert fc.s2d_e2e
+    assert "disabled" not in capsys.readouterr().out
+
+
+def test_fast_config_knobs_without_env(rng, monkeypatch):
+    """The fast-path variants are reachable through config fields alone
+    (model.fast.*, round-trippable via opt.json) — no env vars set."""
+    for var in ("JPDSE_S2D_E2E", "JPDSE_HEAD_PALLAS", "JPDSE_HEAD_FOLD",
+                "JPDSE_TAIL_SPLIT", "JPDSE_TAIL_WGROUP",
+                "JPDSE_FUSED_REALIGN", "JPDSE_FRONT_REALIGN",
+                "JPDSE_NORM_SHIFT"):
+        monkeypatch.delenv(var, raising=False)
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.model.fast.head_fold = True
+    cfg.model.fast.tail_split = False
+    cfg.model.fast.s2d_e2e = True
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    want, _ = codec.apply({"params": params}, inputs, method=SemanticCodec.decode)
+
+    from jpdse_tpu.config import Config
+
+    cfg2 = Config.from_dict(cfg.to_dict())  # opt.json round trip
+    assert cfg2.model.fast.head_fold and not cfg2.model.fast.tail_split
+    assert cfg2.model.fast.s2d_e2e
+    fast = FastCodec(cfg2, params, dtype=jnp.float32)
+    assert fast.netG.head_fold in ("w", "hw")
+    assert fast.netG.tail_split == "none"
+    assert fast.s2d_e2e
+    got = fast.decode(batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fast_config_env_overrides_config(rng, monkeypatch):
+    """Env vars beat config fields (the A/B sweep contract)."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.model.fast.tail_split = True
+    monkeypatch.setenv("JPDSE_TAIL_SPLIT", "0")
+    batch = tiny_batch(rng)
+    _, params, _ = init_codec(cfg, batch)
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    assert fast.netG.tail_split == "none"
+
+
+def test_fast_config_validation():
+    """Config.validate rejects bad domains and the force+s2d_e2e combo."""
+    import pytest
+
+    from jpdse_tpu.config import Config
+
+    cfg = Config()
+    # make the base config pass the reference's binarize-XOR check (its
+    # defaults violate it too; validate() runs at model construction)
+    cfg.model.no_generator_binarization = True
+    cfg.model.fast.fused_realign = "bogus"
+    with pytest.raises(ValueError, match="fused_realign"):
+        cfg.validate()
+    cfg.model.fast.fused_realign = "auto"
+    cfg.model.fast.s2d_e2e = True
+    cfg.model.fast.head_pallas = "force"
+    with pytest.raises(ValueError, match="s2d_e2e"):
+        cfg.validate()
+    # '1' (channel-gated) + s2d_e2e is allowed: the runtime defers only
+    # when a pallas head is actually selected
+    cfg.model.fast.head_pallas = "1"
+    cfg.validate()

@@ -30,9 +30,15 @@ BATCH=${BATCH:-1}
 FIX_GLOBAL=${FIX_GLOBAL:-50}
 # phase-lib stall-guard contract: recipes whose steps-per-epoch differ from
 # the flagship 22-image/batch-2 shape (11 log lines/epoch) must export their
-# own LINES_PER_EPOCH — at batch 1 the 22-image train split logs 22
-# lines/epoch
-export LINES_PER_EPOCH=${LINES_PER_EPOCH:-$(( 22 / BATCH ))}
+# own LINES_PER_EPOCH. Derive the train-split size from ROOT (it is
+# overridable), use ceiling division (drop_last=False pads the tail batch),
+# and clamp to >= 1 so an over-large BATCH can't zero the stall guard's
+# lines>=LINES_PER_EPOCH progress check.
+N_TRAIN=$(find "${ROOT}/leftImg8bit/train" -name '*.png' 2>/dev/null | wc -l)
+[ "${N_TRAIN}" -ge 1 ] || N_TRAIN=22
+LPE=$(( (N_TRAIN + BATCH - 1) / BATCH ))
+[ "${LPE}" -ge 1 ] || LPE=1
+export LINES_PER_EPOCH=${LINES_PER_EPOCH:-${LPE}}
 
 CFG="--use_compressed --ext heif --quality ${QUALITY} \
   --no_label_encoding --no_feat_encoding --no_generator_binarization \
