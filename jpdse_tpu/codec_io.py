@@ -52,6 +52,15 @@ from jpdse_tpu import native
 MAGIC = b"JPDS"
 VERSION = 1
 VERSION2 = 2
+# Version 3 (round 4): a [u8 coder_mode] byte follows the shape table —
+# 1 = spatial contexts (native.entropy_encode_spatial: per (channel,
+# left-bit, up-bit) adaptive models; measured 24% smaller than the
+# per-channel contexts on every trained bottleneck stream, e.g. the
+# flagship 128+128 codes 0.639 -> 0.488 bpp) — and the side-info flags
+# byte is always present (possibly 0). pack() encodes both ways and picks
+# the smaller, so v3 only appears when spatial wins; v1/v2 remain readable
+# AND writable (a per-channel win still emits them).
+VERSION3 = 3
 
 
 def contexts_for_shapes(shapes: Sequence[Tuple[int, int, int]]) -> np.ndarray:
@@ -281,21 +290,34 @@ def pack(
             c = c[0]
         shapes.append(tuple(int(s) for s in c.shape))
         flats.append(c.reshape(-1).astype(np.uint8))
+    coder_mode = 0
     if flats:
         bits = np.concatenate(flats)
         payload = native.entropy_encode(bits, contexts=_contexts_for(shapes))
+        # spatial (channel x left-bit x up-bit) contexts: measured ~24%
+        # smaller on trained bottleneck codes; keep whichever wins per image
+        spatial = native.entropy_encode_spatial(bits, shapes)
+        if len(spatial) < len(payload):
+            coder_mode, payload = 1, spatial
     else:
         payload = b""  # side-info-only stream (e.g. the raw phase-2 config)
 
     v2 = side is not None and not side.empty()
+    v3 = coder_mode != 0
+    version = VERSION3 if v3 else (VERSION2 if v2 else VERSION)
     out = bytearray()
     out += MAGIC
-    out += struct.pack("<BHH", VERSION2 if v2 else VERSION, image_hw[0], image_hw[1])
+    out += struct.pack("<BHH", version, image_hw[0], image_hw[1])
     out += struct.pack("<B", len(shapes))
     for h, w, c in shapes:
         out += struct.pack("<HHH", h, w, c)
+    if v3:
+        out += struct.pack("<B", coder_mode)
     out += struct.pack("<I", len(payload))
     out += payload
+    if v3:
+        v2 = True  # v3 always carries the flags byte (0 when no side info)
+        side = side or SideInfo()
     if v2:
         # label/instance sections: derivation-aware + conditionally coded
         # (sem_side_blobs) — the label section vanishes when the instance
@@ -329,7 +351,7 @@ def unpack_full(data: bytes) -> Bitstream:
     if data[:4] != MAGIC:
         raise ValueError("not a .jpds bitstream (bad magic)")
     ver, H, W = struct.unpack_from("<BHH", data, 4)
-    if ver not in (VERSION, VERSION2):
+    if ver not in (VERSION, VERSION2, VERSION3):
         raise ValueError(f"unsupported .jpds version {ver}")
     off = 9
     (n_codes,) = struct.unpack_from("<B", data, off)
@@ -338,6 +360,12 @@ def unpack_full(data: bytes) -> Bitstream:
     for _ in range(n_codes):
         shapes.append(struct.unpack_from("<HHH", data, off))
         off += 6
+    coder_mode = 0
+    if ver == VERSION3:
+        (coder_mode,) = struct.unpack_from("<B", data, off)
+        off += 1
+        if coder_mode not in (0, 1):
+            raise ValueError(f"unknown .jpds coder mode {coder_mode}")
     (payload_bytes,) = struct.unpack_from("<I", data, off)
     off += 4
     payload = data[off : off + payload_bytes]
@@ -348,7 +376,9 @@ def unpack_full(data: bytes) -> Bitstream:
         )
     off += payload_bytes
     n_bits = sum(h * w * c for h, w, c in shapes)
-    if n_bits:
+    if n_bits and coder_mode == 1:
+        bits = native.entropy_decode_spatial(payload, shapes)
+    elif n_bits:
         bits = native.entropy_decode(payload, n_bits, contexts=_contexts_for(shapes))
     else:
         bits = np.zeros(0, np.uint8)
@@ -359,7 +389,7 @@ def unpack_full(data: bytes) -> Bitstream:
         pos += n
 
     side = SideInfo()
-    if ver == VERSION2:
+    if ver in (VERSION2, VERSION3):
         def take(n):
             nonlocal off
             chunk = data[off : off + n]

@@ -113,10 +113,10 @@ def evaluate(
             )
 
         recon = trainer.get_img(batch)
-        codes = contexts = None
+        codes = contexts = code_shapes = None
         if get_codes and cfg.save_dir:
             # one device call for the whole batch (not per image)
-            codes, contexts = trainer.get_code_and_contexts(batch)
+            codes, contexts, code_shapes = trainer.get_code_and_contexts(batch)
         for j in range(recon.shape[0]):
             if visualizer is not None and gallery is not None:
                 visuals = {}
@@ -131,15 +131,23 @@ def evaluate(
                 code_path = os.path.join(cfg.save_dir, "codes", base + "_code")
                 with open(code_path, "wb") as f:
                     f.write(codes[j].astype(np.uint8).tobytes())
-                # real entropy-coded bitstream with per-channel adaptive
-                # contexts (reference only dumped one raw byte per bit and
-                # *estimated* rate, pix2pixHD_model.py:480-489)
+                # real entropy-coded bitstream (reference only dumped one
+                # raw byte per bit and *estimated* rate,
+                # pix2pixHD_model.py:480-489): best of per-channel and
+                # spatial (channel x left x up) contexts per image — the
+                # same auto-pick codec_io.pack() applies to .jpds streams,
+                # so coded_bpp here matches deployed bytes
                 try:
                     from jpdse_tpu import native
 
                     stream = native.entropy_encode(
                         codes[j].astype(np.uint8), contexts=contexts
                     )
+                    spatial = native.entropy_encode_spatial(
+                        codes[j].astype(np.uint8), code_shapes
+                    )
+                    if len(spatial) < len(stream):
+                        stream = spatial
                     with open(code_path + ".rc", "wb") as f:
                         f.write(stream)
                     h, w = batch["image"].shape[1:3]

@@ -44,7 +44,9 @@ def load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
+    # always invoke make: a no-op when the .so is current, a rebuild when a
+    # source file is newer (a stale .so would bind with missing symbols)
+    if not _build() and not os.path.exists(_SO):
         raise NativeUnavailable("could not build libjpdse_native.so (g++ missing?)")
     lib = ctypes.CDLL(_SO)
     lib.jpdse_rc_encode.restype = ctypes.c_int64
@@ -58,6 +60,18 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_rc_encode_spatial.restype = ctypes.c_int64
+    lib.jpdse_rc_encode_spatial.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.jpdse_rc_decode_spatial.restype = ctypes.c_int64
+    lib.jpdse_rc_decode_spatial.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.jpdse_idmap_encode.restype = ctypes.c_int64
     lib.jpdse_idmap_encode.argtypes = [
@@ -163,6 +177,53 @@ def entropy_decode(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
         ctx_ptr, n_ctx,
         bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_bits,
+    )
+    return bits
+
+
+def _spatial_shapes(shapes) -> Tuple[np.ndarray, int]:
+    arr = np.ascontiguousarray(
+        np.asarray(shapes, dtype=np.int32).reshape(-1, 3)
+    )
+    n_bits = int(np.prod(arr.astype(np.int64), axis=1).sum())
+    return arr, n_bits
+
+
+def entropy_encode_spatial(bits: np.ndarray, shapes) -> bytes:
+    """Encode concatenated per-code NHWC bit rasters with (channel x
+    left-bit x up-bit) spatial contexts (range_coder.cpp
+    jpdse_rc_encode_spatial). ``shapes``: sequence of (h, w, c) — the .jpds
+    header shapes; measured several % smaller than the per-channel contexts
+    on trained bottleneck codes (bottleneck bits are spatially correlated)."""
+    lib = load()
+    b = np.ascontiguousarray(bits.reshape(-1), dtype=np.uint8)
+    sh, n_bits = _spatial_shapes(shapes)
+    if b.size != n_bits:
+        raise ValueError(f"bits size {b.size} != shapes total {n_bits}")
+    cap = n_bits // 2 + 1024
+    for _ in range(2):
+        out = np.empty(cap, dtype=np.uint8)
+        size = lib.jpdse_rc_encode_spatial(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sh.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if size >= 0:
+            return out[:size].tobytes()
+        cap = n_bits + 4096  # incompressible worst case
+    raise RuntimeError("range coder overflow")
+
+
+def entropy_decode_spatial(data: bytes, shapes) -> np.ndarray:
+    """Decode an entropy_encode_spatial stream back into its bit array."""
+    lib = load()
+    src = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    sh, n_bits = _spatial_shapes(shapes)
+    bits = np.empty(n_bits, dtype=np.uint8)
+    lib.jpdse_rc_decode_spatial(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.size,
+        sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sh.shape[0],
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return bits
 

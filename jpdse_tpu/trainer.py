@@ -320,12 +320,15 @@ class Trainer:
             raise ValueError("no binarized module in this configuration")
         return np.concatenate([np.asarray(c) for c in codes], axis=-1)
 
-    def get_code_and_contexts(self, batch: Dict) -> Tuple[np.ndarray, np.ndarray]:
-        """(codes, contexts): concatenated flat binary codes (B, n_bits) plus
-        the per-bit context ids (n_bits,) for the range coder's per-channel
-        adaptive models. Context id = channel index within its code, offset so
-        different codes never share a context; fully derivable from config +
-        image shape, so the decoder can reconstruct it without side info."""
+    def get_code_and_contexts(
+        self, batch: Dict
+    ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int, int]]]:
+        """(codes, contexts, shapes): concatenated flat binary codes
+        (B, n_bits), the per-bit context ids (n_bits,) for the range coder's
+        per-channel adaptive models, and the per-code (h, w, c) shapes the
+        spatial-context coder needs. Both context schemes are fully derivable
+        from config + image shape, so the decoder reconstructs them without
+        side info."""
         from jpdse_tpu.codec_io import contexts_for_shapes
 
         shaped = self._shaped_codes(batch)
@@ -333,8 +336,9 @@ class Trainer:
             raise ValueError("no binarized module in this configuration")
         shaped = [np.asarray(c) for c in shaped]
         flats = [c.reshape(c.shape[0], -1) for c in shaped]
-        ctxs = contexts_for_shapes([c.shape[1:] for c in shaped])
-        return np.concatenate(flats, axis=-1), ctxs
+        shapes = [c.shape[1:] for c in shaped]
+        ctxs = contexts_for_shapes(shapes)
+        return np.concatenate(flats, axis=-1), ctxs, shapes
 
     def _side_requirements(self):
         """See codec_io.side_requirements."""

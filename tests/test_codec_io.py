@@ -414,3 +414,83 @@ def test_uncond_overflow_still_tries_conditional(rng, monkeypatch):
     enc = codec_io.encode_idmap(label, cond=label)
     assert enc[:4] == codec_io.IDRX_MAGIC
     np.testing.assert_array_equal(codec_io.decode_idmap(enc, cond=label), label)
+
+
+# -- spatial-context coding (version 3, round 4) -------------------------
+
+def _correlated_codes(rng, shapes):
+    """Spatially correlated {0,1} codes (what trained bottlenecks look
+    like): smoothed noise thresholded per channel."""
+    out = []
+    for h, w, c in shapes:
+        x = rng.normal(size=(h, w, c))
+        for _ in range(2):
+            x = 0.25 * (
+                np.roll(x, 1, 0) + np.roll(x, -1, 0)
+                + np.roll(x, 1, 1) + np.roll(x, -1, 1)
+            )
+        out.append((x > 0).astype(np.float32)[None])
+    return out
+
+
+def test_spatial_contexts_round_trip_and_win(rng):
+    """pack() auto-picks the spatial (channel x left x up) contexts when
+    they win (they do on spatially correlated codes — measured 24% smaller
+    on every trained flagship stream) and the v3 stream round-trips."""
+    codes = _correlated_codes(rng, [(32, 64, 16), (16, 32, 32)])
+    data = codec_io.pack(codes, (64, 128))
+    assert data[4] == codec_io.VERSION3, "spatial coder should win here"
+    # strictly smaller than a per-channel-only encode of the same codes
+    flat = np.concatenate([c.reshape(-1).astype(np.uint8) for c in codes])
+    shapes = [c.shape[1:] for c in codes]
+    chan = native.entropy_encode(
+        flat, contexts=codec_io.contexts_for_shapes(shapes)
+    )
+    assert len(data) < len(chan) + 20  # header overhead is ~20 bytes
+    codes2, hw = codec_io.unpack(data)
+    assert hw == (64, 128)
+    for a, b in zip(codes, codes2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spatial_v3_with_side_info(rng):
+    """v3 + side-info sections coexist (flags byte always present in v3)."""
+    codes = _correlated_codes(rng, [(16, 32, 8)])
+    label = rng.integers(0, 5, (64, 128)).astype(np.int32)
+    side = codec_io.SideInfo(label=label)
+    data = codec_io.pack(codes, (64, 128), side)
+    assert data[4] == codec_io.VERSION3
+    bs = codec_io.unpack_full(data)
+    np.testing.assert_array_equal(bs.side.label, label)
+    np.testing.assert_array_equal(bs.codes[0], codes[0])
+
+
+def test_per_channel_streams_still_written_and_read(rng, monkeypatch):
+    """When spatial loses, pack() emits the v1/v2 layout unchanged —
+    old-decoder compatibility is preserved on the wire."""
+    codes = [(rng.random((1, 16, 32, 8)) < 0.5).astype(np.float32)]
+    monkeypatch.setattr(
+        native, "entropy_encode_spatial",
+        lambda bits, shapes: b"\xff" * 10_000_000,
+    )
+    data = codec_io.pack(codes, (64, 128))
+    assert data[4] == codec_io.VERSION
+    codes2, _ = codec_io.unpack(data)
+    np.testing.assert_array_equal(codes2[0], codes[0])
+
+
+def test_native_spatial_round_trip_random(rng):
+    """The spatial coder is lossless even on incompressible random bits."""
+    shapes = [(8, 16, 4), (4, 8, 32)]
+    flat = (rng.random(sum(h * w * c for h, w, c in shapes)) < 0.5).astype(
+        np.uint8
+    )
+    stream = native.entropy_encode_spatial(flat, shapes)
+    np.testing.assert_array_equal(
+        native.entropy_decode_spatial(stream, shapes), flat
+    )
+
+
+def test_native_spatial_shape_mismatch_raises(rng):
+    with pytest.raises(ValueError, match="shapes total"):
+        native.entropy_encode_spatial(np.zeros(10, np.uint8), [(2, 2, 2)])

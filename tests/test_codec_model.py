@@ -320,9 +320,10 @@ def test_code_and_contexts_layout(rng):
     batch = {k: np.asarray(v) for k, v in tiny_batch(rng).items()}
     tr = Trainer(cfg, "test", sample_batch=batch)
     codes = tr.get_code(batch)
-    codes2, ctx = tr.get_code_and_contexts(batch)
+    codes2, ctx, shapes = tr.get_code_and_contexts(batch)
     np.testing.assert_array_equal(codes, codes2)
     assert ctx.shape == (codes.shape[1],)
+    assert sum(h * w * c for h, w, c in shapes) == codes.shape[1]
     # two binarized encoders at 16 channels each -> 32 distinct contexts
     assert ctx.min() == 0 and ctx.max() == 31
     assert set(np.unique(ctx)) == set(range(32))

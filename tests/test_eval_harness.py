@@ -54,7 +54,7 @@ class StubTrainer:
     def get_code_and_contexts(self, batch):
         self.code_calls += 1
         self.contexts_seen = self.ctx
-        return self.code.reshape(self.b, -1), self.ctx
+        return self.code.reshape(self.b, -1), self.ctx, [(H, W, CH)]
 
 
 def fake_loader(rng, n_batches=2, b=2):

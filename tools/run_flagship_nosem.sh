@@ -14,10 +14,11 @@
 #   A-side q10 flagship: 0.0658 base + 0.0604 lossless semantics = 0.1262 bpp
 #   B-side (this, QUALITY=20):  0.1236 bpp base only  (match within 0.003)
 #   A-side q15 flagship: 0.0964 base + 0.0604 semantics = 0.1568 bpp
-#   B-side (this, QUALITY=24):  0.1567 bpp base only   (match within 0.0002)
+#   B-side (this, QUALITY=23):  0.1583 bpp base only   (match within 0.002)
 #
 # (base-codec rates measured on the held-out 8 by tools/base_codec_rd.py —
-# artifacts/flagship_r3/base_codec_rd.json + the q21-25 fill-in sweep.)
+# artifacts/flagship_r3/base_codec_rd.json + a q21-25 fill-in sweep:
+# q21/22 -> 0.1403, q23/24 -> 0.1583, q25 -> 0.1790 bpp.)
 #
 # Warm start: the same trained q30 phase-B checkpoint the A-side runs warm
 # from (artifacts/flagship_r3_compressed_long/phaseB). The trunk/res blocks
