@@ -304,3 +304,131 @@ def test_two_process_train_step(tmp_path):
         assert line, out[-2000:]
         lines.append(line[0].split("ok:")[1])
     assert lines[0] == lines[1], lines  # same global losses on both hosts
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(CITYSCAPES_ROOT), reason="bundled cityscapes subset not present"
+)
+def test_two_process_elastic_restart(tmp_path):
+    """Elastic recovery under PROCESS LOSS (SURVEY §5: the failure mode the
+    rebuild must own; the reference's only recovery was manual rerun): one
+    of two coordinated train.py processes is SIGKILLed mid-run, the
+    survivor is torn down (collective timeout — in production the phase
+    runner's stall guard does this), and a restarted pair resumes from the
+    last durable checkpoint to the SAME final validation metrics an
+    uninterrupted run produces. Deterministic exact-state resume was proven
+    single-host at full scale (the q30 replay); this pins it under
+    multi-host process loss."""
+    import json
+    import signal
+    import socket
+    import time as _time
+
+    base = (
+        f"--dataset cityscapes --root_dir {CITYSCAPES_ROOT} --model pix2pixHD "
+        "--no_label_encoding --no_feat_encoding --no_generator_binarization "
+        "--preprocess_mode fixed --load_size 128 --crop_size 128 "
+        "--val_preprocess_mode fixed --val_load_size 128 --val_crop_size 128 "
+        "--ngf 8 --ndf 8 --n_downsample_global 2 --n_blocks_global 1 "
+        "--batch_size 2 --max_dataset_size 4 --no_vgg_loss --seed 0 --mode val "
+        "--val_interval 1 --always_save"
+    ).split()
+
+    def fresh_port():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+
+    def spawn(pid, port, extra):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=(
+                "--xla_force_host_platform_device_count=2 "
+                "--xla_cpu_collective_call_terminate_timeout_seconds=120 "
+                "--xla_cpu_collective_timeout_seconds=120"),
+            JPDSE_COORDINATOR=f"localhost:{port}",
+            JPDSE_NUM_PROCESSES="2",
+            JPDSE_PROCESS_ID=str(pid),
+        )
+        return subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "train.py")] + base + extra,
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+
+    def is_flake(rc, out):
+        return rc != 0 and (
+            "Gloo context initialization failed" in out
+            or "DEADLINE_EXCEEDED" in out
+        )
+
+    def run_pair(extra, save):
+        for _ in range(2):
+            port = fresh_port()
+            procs = [spawn(pid, port, extra) for pid in range(2)]
+            outs = [p.communicate(timeout=900)[0] for p in procs]
+            if not any(is_flake(p.returncode, o) for p, o in zip(procs, outs)):
+                return procs, outs
+            if save is not None:
+                shutil.rmtree(save, ignore_errors=True)
+        return procs, outs
+
+    def final_val(out):
+        vals = [ln for ln in out.splitlines() if "val set avg" in ln]
+        assert vals, out[-2000:]
+        return vals[-1]
+
+    # -- reference: uninterrupted 3-epoch run ---------------------------
+    ref_save = tmp_path / "ref"
+    procs, outs = run_pair(["--num_epochs", "3", "--save_dir", str(ref_save)], ref_save)
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"ref proc {i}:\n{o[-3000:]}"
+    want = final_val(outs[0])
+
+    # -- elastic: kill one process once epoch-1 state is durable --------
+    el_save = tmp_path / "elastic"
+    meta = el_save / "trainer_meta.json"
+    for _ in range(2):
+        port = fresh_port()
+        procs = [spawn(pid, port, ["--num_epochs", "3", "--save_dir", str(el_save)])
+                 for pid in range(2)]
+        deadline = _time.time() + 600
+        killed = False
+        while _time.time() < deadline:
+            if meta.exists() and (el_save / "params").is_dir():
+                try:
+                    if json.load(open(meta))["epoch"] >= 1:
+                        procs[1].send_signal(signal.SIGKILL)
+                        killed = True
+                        break
+                except Exception:
+                    pass
+            if any(p.poll() is not None for p in procs):
+                break  # early exit (flake) — handled below
+            _time.sleep(1.0)
+        outs = []
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=300)[0])
+            except subprocess.TimeoutExpired:
+                p.kill()  # survivor stuck in a collective: production's
+                outs.append(p.communicate()[0])  # stall guard would do this
+        if killed or not any(is_flake(p.returncode, o) for p, o in zip(procs, outs)):
+            break
+        shutil.rmtree(el_save, ignore_errors=True)
+    assert killed, "never reached a durable epoch-1 checkpoint:\n" + outs[0][-3000:]
+    done = json.load(open(meta))["epoch"] + 1
+    assert 1 <= done < 3
+
+    # -- restart the pair; resume must be lossless ----------------------
+    procs, outs = run_pair(
+        ["--num_epochs", str(3 - done), "--save_dir", str(el_save),
+         "--load_model", "--checkpoints_dir", str(el_save)],
+        None,  # no rmtree on flake retry: resume state must survive
+    )
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"restart proc {i}:\n{o[-3000:]}"
+    assert json.load(open(meta))["epoch"] == 2
+    got = final_val(outs[0])
+    assert got == want, f"resumed run diverged:\n  want {want}\n  got  {got}"

@@ -37,6 +37,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--no-vgg", action="store_true")
+    ap.add_argument("--no-gan", action="store_true",
+                    help="drop the GAN machinery (3 D passes, D update, "
+                         "gan+feat-match losses) — with --no-vgg this times "
+                         "the distortion-only step: G fwd/bwd + Adam + "
+                         "input assembly. Subtraction against the full step "
+                         "gives the train-stage ledger (PERF.md)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--bf16-inputs", action="store_true",
                     help="feed the batch in bf16 (halves the one-hot/VGG "
@@ -56,6 +62,10 @@ def main():
     cfg = ge._flagship_cfg()
     if args.no_vgg:
         cfg.loss.no_vgg_loss = True
+    if args.no_gan:
+        cfg.loss.no_g_gan_loss = True
+        cfg.loss.no_d_gan_loss = True
+        cfg.loss.no_gan_feat_loss = True
     cfg.optim.remat = args.remat
     cfg.optim.vgg_chunk = args.vgg_chunk
 
@@ -107,6 +117,7 @@ def main():
                 "batch": args.batch,
                 "sec_per_step": round(per_iter, 4),
                 "vgg": not cfg.loss.no_vgg_loss,
+                "gan": not args.no_gan,
                 "remat": args.remat,
                 "bf16_inputs": args.bf16_inputs,
                 "vgg_chunk": args.vgg_chunk,
