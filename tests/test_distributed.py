@@ -387,12 +387,28 @@ def test_two_process_elastic_restart(tmp_path):
     want = final_val(outs[0])
 
     # -- elastic: kill one process once epoch-1 state is durable --------
+    import threading
+
     el_save = tmp_path / "elastic"
     meta = el_save / "trainer_meta.json"
     for _ in range(2):
         port = fresh_port()
         procs = [spawn(pid, port, ["--num_epochs", "3", "--save_dir", str(el_save)])
                  for pid in range(2)]
+        # drain stdout concurrently: an undrained PIPE blocks the child once
+        # the 64KB buffer fills, freezing the run before any checkpoint
+        bufs = [[], []]
+
+        def _drain(p, buf):
+            for line in p.stdout:
+                buf.append(line)
+
+        threads = [
+            threading.Thread(target=_drain, args=(p, b), daemon=True)
+            for p, b in zip(procs, bufs)
+        ]
+        for t in threads:
+            t.start()
         deadline = _time.time() + 600
         killed = False
         while _time.time() < deadline:
@@ -407,13 +423,15 @@ def test_two_process_elastic_restart(tmp_path):
             if any(p.poll() is not None for p in procs):
                 break  # early exit (flake) — handled below
             _time.sleep(1.0)
-        outs = []
         for p in procs:
             try:
-                outs.append(p.communicate(timeout=300)[0])
+                p.wait(timeout=300)
             except subprocess.TimeoutExpired:
                 p.kill()  # survivor stuck in a collective: production's
-                outs.append(p.communicate()[0])  # stall guard would do this
+                p.wait()  # stall guard would do this
+        for t in threads:
+            t.join(timeout=30)
+        outs = ["".join(b) for b in bufs]
         if killed or not any(is_flake(p.returncode, o) for p, o in zip(procs, outs)):
             break
         shutil.rmtree(el_save, ignore_errors=True)

@@ -17,13 +17,25 @@ run () {
 }
 
 run env QUALITY=20 PA=300 PB=100 bash tools/run_flagship_nosem.sh
+
+# q15-point row from the q20-trained no-sem decoder fed q23 payloads (the
+# round-3 swap matrix showed PSNR transfers cross-q essentially for free);
+# the per-q retrain below supersedes it when it completes
+if [ -d artifacts/flagship_r4_nosem_q20/phaseB/params ]; then
+  run python test.py --load_opt \
+    --opt_file artifacts/flagship_r4_nosem_q20/phaseB/opt.json \
+    --checkpoints_dir artifacts/flagship_r4_nosem_q20/phaseB \
+    --save_dir artifacts/flagship_r4_nosem_q20/eval_phaseB_xq23 \
+    --root_dir datasets/cityscapes_split --mode val --quality 23
+fi
+
+run env PA=${HIRES_PA:-60} PB=${HIRES_PB:-20} FIX_GLOBAL=20 \
+  bash tools/run_flagship_hires.sh
+
 run env QUALITY=23 PA=300 PB=100 bash tools/run_flagship_nosem.sh
 
 if [ ! -f artifacts/seg_vgg/vgg19_seg.npz ]; then
   run python tools/train_seg_vgg.py --out artifacts/seg_vgg
 fi
-
-run env PA=${HIRES_PA:-100} PB=${HIRES_PB:-30} FIX_GLOBAL=25 \
-  bash tools/run_flagship_hires.sh
 
 echo "=== chain complete ($(date -u +%H:%M:%S)) ==="
