@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--root_dir", default="datasets/cityscapes_split")
     ap.add_argument("--mode", default="val")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--quality", type=int, default=None,
+                    help="override the base-codec quality (cross-q eval: "
+                         "e.g. the q30-trained semantics decoder fed q10 "
+                         "payloads, the round-3 swap-matrix protocol)")
     args = ap.parse_args()
 
     from jpdse_tpu.config import Config, derive_eval_config
@@ -61,6 +65,8 @@ def main():
     cfg.checkpoints_dir = args.checkpoints_dir
     cfg.data.root_dir = args.root_dir
     cfg.save_dir = ""
+    if args.quality is not None:
+        cfg.codec.quality = (args.quality,)
     cfg = derive_eval_config(cfg, mode="val" if args.mode == "val" else "test")
     cfg.mode = args.mode
     loader = create_dataloader(cfg)
