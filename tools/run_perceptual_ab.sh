@@ -54,8 +54,7 @@ run_arm () {
   local arm=$1; shift
   COMMON="${COMMON_BASE}"
   echo "=== arm ${arm}: ${PA} epochs from ${WARM} ==="
-  OUT_SAVE=${OUT}/${arm}
-  OUT=${OUT} run_phase "${arm}" "${WARM}" "${PA}" "$@"
+  run_phase "${arm}" "${WARM}" "${PA}" "$@"
   python test.py --load_opt --opt_file ${OUT}/${arm}/opt.json \
     --checkpoints_dir ${OUT}/${arm} --save_dir ${OUT}/eval_${arm} \
     --root_dir ${ROOT} --mode val
