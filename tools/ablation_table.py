@@ -44,6 +44,17 @@ PAIRS = [
         "artifacts/flagship_r4_nosem_q23/eval_phaseA",
         0.1583,
     ),
+    # fallback B-side for the q15 point until the per-q retrain lands: the
+    # q20-trained no-sem decoder FED q23 payloads (the round-3 swap matrix
+    # showed PSNR transfers cross-q essentially for free; MS-SSIM is what
+    # per-q training buys, so this UNDERSTATES the no-sem arm)
+    (
+        "q15 point (no-sem decoder fed q23, no retrain)",
+        "artifacts/flagship_r3_compressed_q15/eval_phaseB",
+        0.1568,
+        "artifacts/flagship_r4_nosem_q20/eval_phaseB_xq23",
+        0.1594,
+    ),
 ]
 
 

@@ -69,7 +69,14 @@ def main():
         cfg.codec.quality = (args.quality,)
     cfg = derive_eval_config(cfg, mode="val" if args.mode == "val" else "test")
     cfg.mode = args.mode
-    loader = create_dataloader(cfg)
+    # the LOADER must supply label maps even for no-semantics models (the
+    # analysis needs them); the trainer keeps the as-trained architecture
+    import copy as _copy
+
+    loader_cfg = _copy.deepcopy(cfg)
+    loader_cfg.model.no_label = False
+    loader_cfg.model.no_instance = False
+    loader = create_dataloader(loader_cfg)
     sample = next(iter(loader))
     tr = Trainer(cfg, mode="test", sample_batch=sample)
     tr.load()
