@@ -295,9 +295,14 @@ def pack(
         bits = np.concatenate(flats)
         payload = native.entropy_encode(bits, contexts=_contexts_for(shapes))
         # spatial (channel x left-bit x up-bit) contexts: measured ~24%
-        # smaller on trained bottleneck codes; keep whichever wins per image
+        # smaller on trained bottleneck codes; keep whichever wins per image.
+        # The comparison charges the v3 container overhead to the spatial
+        # side: +1 coder_mode byte always, +1 forced flags byte when there is
+        # no side info (v1 carries neither) — so a near-tie never emits a v3
+        # stream larger than its v1/v2 encoding.
         spatial = native.entropy_encode_spatial(bits, shapes)
-        if len(spatial) < len(payload):
+        v3_overhead = 1 + (0 if (side is not None and not side.empty()) else 1)
+        if len(spatial) + v3_overhead < len(payload):
             coder_mode, payload = 1, spatial
     else:
         payload = b""  # side-info-only stream (e.g. the raw phase-2 config)

@@ -146,8 +146,13 @@ def evaluate(
                     spatial = native.entropy_encode_spatial(
                         codes[j].astype(np.uint8), code_shapes
                     )
+                    # 1-byte coder-mode marker (0 per-channel, 1 spatial)
+                    # keeps the dump self-describing — unlike .jpds the .rc
+                    # file has no header to record which contexts decode it
                     if len(spatial) < len(stream):
-                        stream = spatial
+                        stream = b"\x01" + spatial
+                    else:
+                        stream = b"\x00" + stream
                     with open(code_path + ".rc", "wb") as f:
                         f.write(stream)
                     h, w = batch["image"].shape[1:3]

@@ -15,6 +15,7 @@ external deps). Components:
 from __future__ import annotations
 
 import ctypes
+import fcntl
 import os
 import subprocess
 from typing import Optional, Tuple
@@ -31,10 +32,18 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> bool:
+    # Serialize concurrent builders (multi-host train, two-process tests all
+    # starting from a fresh clone, where git's non-preserved mtimes make the
+    # sources look newer than the committed .so) with an flock; the Makefile
+    # additionally compiles to a temp name and mv's it into place, so even a
+    # non-serialized `make` can never expose a partially written .so.
     try:
-        subprocess.run(
-            ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
-        )
+        with open(os.path.join(_DIR, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-s"], cwd=_DIR, check=True, capture_output=True,
+                timeout=120,
+            )
         return os.path.exists(_SO)
     except Exception:
         return False
@@ -46,9 +55,24 @@ def load() -> ctypes.CDLL:
         return _lib
     # always invoke make: a no-op when the .so is current, a rebuild when a
     # source file is newer (a stale .so would bind with missing symbols)
-    if not _build() and not os.path.exists(_SO):
+    rebuilt = _build()
+    if not rebuilt and not os.path.exists(_SO):
         raise NativeUnavailable("could not build libjpdse_native.so (g++ missing?)")
     lib = ctypes.CDLL(_SO)
+    try:
+        _bind(lib)
+    except AttributeError as e:
+        # a stale committed .so survived a failed rebuild (make/g++ missing):
+        # surface it as the usual gated-unavailable path, not a confusing
+        # AttributeError deep inside pack()/compress
+        raise NativeUnavailable(
+            f"libjpdse_native.so is stale and could not be rebuilt: {e}"
+        ) from e
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     lib.jpdse_rc_encode.restype = ctypes.c_int64
     lib.jpdse_rc_encode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -108,8 +132,6 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
-    _lib = lib
-    return lib
 
 
 def available() -> bool:

@@ -75,6 +75,18 @@ class SegVgg(nn.Module):
         return feats, logits
 
 
+def export_trunk(trunk_params, out_path: str):
+    """Write the Vgg19Features trunk as the ``conv{s}_{c}.kernel/.bias`` .npz
+    layout ``init_vgg19(weights_path=...)`` / ``--vgg_weights_path`` consume
+    (models/vgg.py:77-84). Tested by tests/test_seg_vgg.py."""
+    arrays = {}
+    for name, node in trunk_params.items():
+        arrays[f"{name}.kernel"] = np.asarray(node["kernel"], np.float32)
+        arrays[f"{name}.bias"] = np.asarray(node["bias"], np.float32)
+    np.savez(out_path, **arrays)
+    return out_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="datasets/cityscapes_split")
@@ -90,8 +102,11 @@ def main():
     imgs, labs = load_split(args.root, "train", num_labels=args.num_labels)
     print(f"{imgs.shape[0]} train images {imgs.shape[1:]} -> device")
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-    imgs_d = jnp.asarray(imgs)
-    labs_d = jnp.asarray(labs)
+    # jit ARGUMENTS, never closures: a closed-over ~140MB dataset gets baked
+    # into the compile payload and the remote-compile relay rejects it
+    # (HTTP 413) — CLAUDE.md / PERF.md protocol.
+    imgs_d = jax.device_put(jnp.asarray(imgs))
+    labs_d = jax.device_put(jnp.asarray(labs))
 
     model = SegVgg(num_labels=args.num_labels)
     rng = jax.random.PRNGKey(args.seed)
@@ -113,7 +128,7 @@ def main():
         return loss / len(logits)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, imgs_d, labs_d):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         idx = jax.random.randint(k1, (args.batch,), 0, n)
         y0 = jax.random.randint(k2, (args.batch,), 0, H - args.crop + 1)
@@ -138,7 +153,7 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         rng, key = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, key)
+        params, opt_state, loss = step(params, opt_state, key, imgs_d, labs_d)
         if i % 50 == 0 or i == args.steps - 1:
             print(f"step {i}: seg CE {float(loss):.4f}  ({time.time()-t0:.0f}s)")
 
@@ -160,12 +175,7 @@ def main():
     print(f"held-out seg pixel acc (1/16 res): {np.mean(accs):.4f}")
 
     os.makedirs(args.out, exist_ok=True)
-    arrays = {}
-    for name, node in params["trunk"].items():
-        arrays[f"{name}.kernel"] = np.asarray(node["kernel"], np.float32)
-        arrays[f"{name}.bias"] = np.asarray(node["bias"], np.float32)
-    out_path = os.path.join(args.out, "vgg19_seg.npz")
-    np.savez(out_path, **arrays)
+    out_path = export_trunk(params["trunk"], os.path.join(args.out, "vgg19_seg.npz"))
     with open(os.path.join(args.out, "TRAIN_META.txt"), "w") as f:
         f.write(
             f"steps={args.steps} batch={args.batch} crop={args.crop} "
