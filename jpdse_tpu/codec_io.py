@@ -79,6 +79,46 @@ def contexts_for_shapes(shapes: Sequence[Tuple[int, int, int]]) -> np.ndarray:
 _contexts_for = contexts_for_shapes
 
 
+def downsample_ids(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Nearest downsample of an (H, W) id map for reduced-rate semantics
+    (codec.sem_downsample): keep every factor-th sample — the numpy twin of
+    the jnp ops/semantics.degrade_ids downsample half."""
+    if factor <= 1:
+        return arr
+    return np.ascontiguousarray(np.asarray(arr)[::factor, ::factor])
+
+
+def upsample_ids(arr: np.ndarray, factor: int, hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest upsample back to ``hw`` — inverse layout of downsample_ids
+    (repeat + crop handles non-divisible sizes)."""
+    if factor <= 1:
+        return arr
+    up = np.repeat(np.repeat(np.asarray(arr), factor, axis=0), factor, axis=1)
+    return np.ascontiguousarray(up[: hw[0], : hw[1]])
+
+
+def _upsample_side_maps(side: "SideInfo", hw: Tuple[int, int]) -> None:
+    """Restore full-resolution semantic maps on a parsed stream whose maps
+    were shipped downsampled (codec.sem_downsample). The id-map containers
+    are self-describing (their own h, w ride in the blob), so no extra
+    header field is needed: a map smaller than the image is upsampled by
+    its implied integer factor; full-size maps pass through untouched."""
+    H, W = hw
+    for name in ("label", "instance"):
+        m = getattr(side, name)
+        if m is None or m.shape == (H, W):
+            continue
+        h, w = m.shape
+        f = max(1, round(H / h))
+        # numpy ::f keeps ceil(H/f) rows — require the exact pair
+        if (-(-H // f), -(-W // f)) != (h, w):
+            raise ValueError(
+                f".jpds {name} map is {m.shape}, which is not an integer "
+                f"nearest-downsample of the {H}x{W} image"
+            )
+        setattr(side, name, upsample_ids(m, f, hw))
+
+
 @dataclasses.dataclass
 class SideInfo:
     """Everything in a .jpds file beyond the learned codes."""
@@ -428,6 +468,10 @@ def unpack_full(data: bytes) -> Bitstream:
             for _ in range(n_pay):
                 (n,) = struct.unpack("<I", take(4))
                 side.base_payloads.append(take(n))
+        # reduced-rate semantics (codec.sem_downsample): maps shipped small
+        # come back to full resolution with the same nearest kernel training
+        # used (ops/semantics.degrade_ids), so the decoder's inputs match
+        _upsample_side_maps(side, (H, W))
     return Bitstream(codes=codes, image_hw=(H, W), side=side)
 
 

@@ -386,6 +386,16 @@ class CodecConfig:
     use_compressed: bool = False
     ext: str = "jpg"  # jpg | j2k | bpg | webp | heif (in-process HEVC intra) | avif
     quality: Tuple[int, ...] = (100,)
+    # Reduced-rate semantics (round-5; motivated by the round-4 ablation:
+    # the semantics *mechanism* helps at equal input but its 0.060 bpp side
+    # info is overpriced at matched rate). Ship the label/instance maps at
+    # 1/f resolution: training degrades them with the same nearest
+    # down-then-up the .jpds path uses (ops/semantics.degrade_ids;
+    # codec_io downsample_ids at pack, upsample at unpack), so train and
+    # deploy see identical blocky maps. Measured on the bundled 1024x512
+    # maps: f=2 cuts the derived-instance side info 0.0608 -> ~0.02 bpp
+    # class, f=4 further (exact numbers in BASELINE.md once trained).
+    sem_downsample: int = 1
 
     def __post_init__(self):
         if isinstance(self.quality, str):
@@ -459,6 +469,11 @@ class Config:
             raise ValueError("sem_masking requires features and labels (pix2pixHD_model.py:115)")
         if len(c.quality) > 1 and not m.sem_masking:
             raise ValueError("per-channel quality list requires sem_masking (pix2pixHD_model.py:342-343)")
+        if c.sem_downsample not in (1, 2, 4, 8):
+            raise ValueError(
+                f"codec.sem_downsample must be 1, 2, 4 or 8, got "
+                f"{c.sem_downsample!r}"
+            )
         m.fast.validate()
         if self.optim.remat_granularity not in ("block", "decode"):
             # a typo here would otherwise silently disable generator remat

@@ -92,16 +92,21 @@ def evaluate(
         # modeled range coder or PNG, whichever is smaller) so total_bpp
         # covers everything a receiver needs
         if need_label_side or need_inst_side:
-            from jpdse_tpu.codec_io import sem_side_blobs
+            from jpdse_tpu.codec_io import downsample_ids, sem_side_blobs
 
             h, w = batch["image"].shape[1:3]
+            sem_f = cfg.codec.sem_downsample
             nbytes = 0
             for j in range(batch["image"].shape[0]):
                 label_j = inst_j = None
                 if need_label_side and "label" in batch:
-                    label_j = np.asarray(batch["label"][j]).astype(np.int32)
+                    label_j = downsample_ids(
+                        np.asarray(batch["label"][j]).astype(np.int32), sem_f
+                    )
                 if need_inst_side and "instance" in batch:
-                    inst_j = np.asarray(batch["instance"][j])
+                    inst_j = downsample_ids(
+                        np.asarray(batch["instance"][j]), sem_f
+                    )
                 # the SAME bytes pack() writes (derivation-aware +
                 # conditional coding live in one helper)
                 label_blob, inst_blob, _ = sem_side_blobs(label_j, inst_j)

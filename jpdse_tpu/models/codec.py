@@ -24,7 +24,7 @@ import flax.linen as nn
 from jpdse_tpu.config import Config
 from jpdse_tpu.models.discriminator import MultiscaleDiscriminator
 from jpdse_tpu.models.generator import Encoder, GlobalGenerator, LocalEnhancer
-from jpdse_tpu.ops.semantics import prepare_semantics, sem_mask
+from jpdse_tpu.ops.semantics import degrade_ids, prepare_semantics, sem_mask
 
 
 def prepare_inputs(
@@ -43,6 +43,13 @@ def prepare_inputs(
     compressed_img) with None for unused entries.
     """
     m = cfg.model
+    f = cfg.codec.sem_downsample
+    if f > 1:
+        # reduced-rate semantics: the model only ever sees the blocky
+        # down-then-up maps — exactly what a receiver reconstructs from the
+        # .jpds small-map sections (codec_io._upsample_side_maps)
+        label = degrade_ids(label, f)
+        instance = degrade_ids(instance, f)
     label_tensor = prepare_semantics(
         label,
         instance,

@@ -125,7 +125,13 @@ class FastCodec:
         # (the LocalEnhancer pyramid needs the fine input for its
         # avg-pool levels); the sharded path keeps the fine assembly whose
         # d2s/pad/s2d ops GSPMD partitions with automatic halo exchanges.
-        self.s2d_e2e = fp.s2d_e2e and m.netG == "global" and not sharded
+        # (sem_downsample: the s2d-domain assembly builds one-hot/edges from
+        # the RAW maps — it has no degrade step, so the mode defers to the
+        # fine-domain assembly, whose prepare_inputs degrades correctly)
+        self.s2d_e2e = (
+            fp.s2d_e2e and m.netG == "global" and not sharded
+            and cfg.codec.sem_downsample == 1
+        )
         if self.s2d_e2e and any(
             t.head_fold == "pallas"
             for t in (self.netG, self.netE, self.netE4label)

@@ -52,6 +52,27 @@ def instance_edges(inst: jax.Array, dtype=jnp.float32) -> jax.Array:
     return edge.astype(dtype)
 
 
+def degrade_ids(m: Optional[jax.Array], factor: int) -> Optional[jax.Array]:
+    """Nearest down-then-up of an integer id map — the decoder-side view of
+    semantics shipped at 1/factor resolution (codec.sem_downsample, the
+    reduced-rate semantics mode motivated by the round-4 ablation: the
+    mechanism is real but 0.060 bpp overpriced). The .jpds stream stores the
+    SMALL map (codec_io downsample_ids) and unpack upsamples with this same
+    nearest kernel, so training and deployment see identical blocky maps.
+
+    m: (B, H, W) or (B, H, W, 1). Non-divisible sizes are legal: the
+    downsample keeps ceil(H/factor) rows (numpy ::factor semantics) and the
+    upsample crops the repeat back to (H, W)."""
+    if m is None or factor <= 1:
+        return m
+    had_c = m.ndim == 4
+    x = m[..., 0] if had_c else m
+    h, w = x.shape[1], x.shape[2]
+    s = x[:, ::factor, ::factor]
+    up = jnp.repeat(jnp.repeat(s, factor, axis=1), factor, axis=2)[:, :h, :w]
+    return up[..., None] if had_c else up
+
+
 def sem_mask(
     img: jax.Array, label: jax.Array, binary_mask: bool = False, img_nc: int = 3
 ) -> jax.Array:

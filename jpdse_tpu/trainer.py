@@ -370,14 +370,22 @@ class Trainer:
             )
         h, w = batch["image"].shape[1:3]
 
+        sem_f = cfg.codec.sem_downsample
+
         def pack_one(j: int) -> bytes:
             side = codec_io.SideInfo()
             if need_label:
                 # raw ids: codec_io.encode_idmap codes them losslessly
-                # (a uint8 pre-cast would silently wrap >255-class label sets)
-                side.label = np.asarray(batch["label"][j]).astype(np.int32)
+                # (a uint8 pre-cast would silently wrap >255-class label sets).
+                # Reduced-rate semantics ship the small map; unpack restores
+                # full resolution with the training-matched nearest kernel.
+                side.label = codec_io.downsample_ids(
+                    np.asarray(batch["label"][j]).astype(np.int32), sem_f
+                )
             if need_inst:
-                side.instance = np.asarray(batch["instance"][j]).astype(np.int32)
+                side.instance = codec_io.downsample_ids(
+                    np.asarray(batch["instance"][j]).astype(np.int32), sem_f
+                )
             if need_base:
                 side.base_ext = batch["base_codec_ext"][j]
                 side.base_payloads = list(batch["base_codec_streams"][j])
