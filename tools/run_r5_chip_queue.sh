@@ -36,4 +36,12 @@ grep -h '"metric"' artifacts/r5_probes/*.log 2>/dev/null || true
 
 # 3. perceptual-loss A/B (three arms; ~35 min each)
 bash tools/run_perceptual_ab.sh 2>&1 | tee artifacts/r5_probes/perceptual_ab.log | tail -40
+
+# 4. ablation closers (VERDICT ask #5): trained q15-point B-arm (q23), then
+#    the architecture-symmetric zero_sem arm, then the cheap-semantics arm
+#    (#6). Ordered by evidential priority; each resumes losslessly if the
+#    round ends mid-run (phase machinery), so partial progress still lands.
+QUALITY=23 bash tools/run_flagship_nosem.sh 2>&1 | tee artifacts/r5_probes/nosem_q23.log | tail -10
+bash tools/run_r5_zerosem.sh 2>&1 | tee artifacts/r5_probes/zerosem.log | tail -10
+bash tools/run_r5_semdown.sh 2>&1 | tee artifacts/r5_probes/semdown.log | tail -10
 echo "=== r5 chip queue complete ($(date -u +%H:%M:%S)) ==="
