@@ -363,6 +363,13 @@ class OptimConfig:
     # activations — the peak-memory driver of the GAN step — only ever exist
     # for one chunk. 0 = whole batch at once.
     vgg_chunk: int = 0
+    # run the VGG19 perceptual trunk in bf16 (weights + activations; the
+    # per-slice L1 losses still reduce in fp32, train/losses.py vgg_loss).
+    # A throughput/memory lever for the train step — the two VGG passes are
+    # fp32 by default (reference parity) and sit on the MXU at half the
+    # bf16 rate. Changes the loss value at ~1e-3 relative (bf16 features),
+    # so it is opt-in; measured numbers in PERF.md round-5.
+    vgg_bf16: bool = False
     # save an exact `latest` resume point (save_dir/latest, not best-val
     # gated) every N epochs, bounding the rework a crash/relay-stall can
     # cause under best-val-gated checkpointing (GAN-phase val wobbles for

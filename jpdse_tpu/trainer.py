@@ -137,6 +137,17 @@ class Trainer:
         vgg_apply = None
         if mode == "train" and not cfg.loss.no_vgg_loss:
             vgg_model, vgg_vars = init_vgg19(0, cfg.loss.vgg_weights_path)
+            if cfg.optim.vgg_bf16:
+                # opt-in bf16 perceptual trunk (optim.vgg_bf16): weights cast
+                # once here, module computes in bf16; the slice L1s still
+                # reduce fp32 (losses.vgg_loss)
+                import jax.numpy as jnp
+                from jpdse_tpu.models.vgg import Vgg19Features
+
+                vgg_model = Vgg19Features(dtype=jnp.bfloat16)
+                vgg_vars = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16), vgg_vars
+                )
             vgg_apply = lambda x: vgg_model.apply(vgg_vars, x)  # noqa: E731
         self._vgg_apply = vgg_apply
         self._global_frozen = (

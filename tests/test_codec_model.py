@@ -360,3 +360,23 @@ def test_remat_train_step_matches(rng):
         jax.tree.leaves(states[False].params_g), jax.tree.leaves(states[True].params_g)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_vgg_bf16_close_to_fp32(rng):
+    """optim.vgg_bf16 (round-5 throughput lever): the bf16 VGG trunk's
+    perceptual loss must track the fp32 one closely (features differ at bf16
+    precision; the slice L1s reduce in fp32 either way)."""
+    from jpdse_tpu.models.vgg import Vgg19Features
+    from jpdse_tpu.train.losses import vgg_loss
+
+    model32 = Vgg19Features()
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32)) * 0.3
+    y = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32)) * 0.3
+    v32 = model32.init(jax.random.PRNGKey(0), x)
+    model16 = Vgg19Features(dtype=jnp.bfloat16)
+    v16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), v32)
+
+    l32 = float(vgg_loss(lambda t: model32.apply(v32, t), x, y))
+    l16 = float(vgg_loss(lambda t: model16.apply(v16, t), x, y))
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.05

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--vgg-chunk", type=int, default=0,
                     help="evaluate the VGG loss N images at a time "
                          "(exact; divides fp32 VGG peak memory by B/N)")
+    ap.add_argument("--vgg-bf16", action="store_true",
+                    help="run the VGG trunk in bf16 (optim.vgg_bf16)")
     args = ap.parse_args()
 
     import __graft_entry__ as ge
@@ -79,6 +81,12 @@ def main():
     vgg_apply = None
     if not cfg.loss.no_vgg_loss:
         vgg_model, vgg_vars = init_vgg19(0, None)
+        if args.vgg_bf16:
+            from jpdse_tpu.models.vgg import Vgg19Features
+
+            cfg.optim.vgg_bf16 = True
+            vgg_model = Vgg19Features(dtype=jnp.bfloat16)
+            vgg_vars = jax.tree.map(lambda a: a.astype(jnp.bfloat16), vgg_vars)
         vgg_apply = lambda x: vgg_model.apply(vgg_vars, x)  # noqa: E731
 
     step = make_train_step(cfg, codec, disc, vgg_apply, donate=False)
@@ -121,6 +129,7 @@ def main():
                 "remat": args.remat,
                 "bf16_inputs": args.bf16_inputs,
                 "vgg_chunk": args.vgg_chunk,
+                "vgg_bf16": args.vgg_bf16,
             }
         )
     )
