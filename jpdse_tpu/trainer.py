@@ -141,7 +141,6 @@ class Trainer:
                 # opt-in bf16 perceptual trunk (optim.vgg_bf16): weights cast
                 # once here, module computes in bf16; the slice L1s still
                 # reduce fp32 (losses.vgg_loss)
-                import jax.numpy as jnp
                 from jpdse_tpu.models.vgg import Vgg19Features
 
                 vgg_model = Vgg19Features(dtype=jnp.bfloat16)

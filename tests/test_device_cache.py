@@ -245,3 +245,20 @@ def test_val_cache_builds_each_batch_once():
     assert cache is not None
     assert len(cache) == len(loader)
     assert calls["n"] == n_items, f"each val item must be built exactly once, got {calls['n']}"
+
+
+def test_compact_storage_engages():
+    """The cache stores uint8-sourced float images as uint8 + LUT and id
+    maps at their narrowest exact width (round-5: what lets the 2048x1024
+    hires cache fit HBM) — on top of the bit-identity the tests above pin."""
+    cfg = train_cfg()
+    cache = maybe_device_cache(create_dataloader(cfg), cfg)
+    assert cache is not None
+    assert cache.ds["image"].dtype == np.uint8 and "image" in cache.luts
+    assert cache.luts["image"].shape == (256, 3)
+    assert cache.ds["label"].dtype == np.uint8
+    assert cache.ds["instance"].dtype == np.uint16
+    f32_bytes = sum(
+        np.prod(v.shape) * 4 for v in cache.ds.values()
+    )
+    assert cache.nbytes < 0.45 * f32_bytes  # ~4x smaller than fp32 storage
