@@ -363,6 +363,17 @@ class OptimConfig:
     # activations — the peak-memory driver of the GAN step — only ever exist
     # for one chunk. 0 = whole batch at once.
     vgg_chunk: int = 0
+    # train the generator through the space-to-depth re-expression
+    # (models/fast_train.py): the s2d weight transforms run differentiably
+    # inside the jitted step, so the G forward AND backward execute in the
+    # MXU-friendly s2d domain while the parameter tree / optimizer /
+    # checkpoints stay standard-layout. Eligible configs: the flagship
+    # recipe family (global netG, no decode-path binarizers, instance norm
+    # — fast_train_ineligible_reason lists the gates; make_train_step
+    # raises with the gate for ineligible configs). Value-equal to the
+    # standard step within bf16 reassociation (pinned by
+    # tests/test_fast_train.py); measured numbers in PERF.md round-5.
+    fast_train: bool = False
     # run the VGG19 perceptual trunk in bf16 (weights + activations; the
     # per-slice L1 losses still reduce in fp32, train/losses.py vgg_loss).
     # A throughput/memory lever for the train step — the two VGG passes are

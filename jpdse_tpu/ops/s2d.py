@@ -232,6 +232,110 @@ def convT_s2_weights_to_s2d(w: np.ndarray) -> np.ndarray:
     return wp
 
 
+# ---------------------------------------------------------------------------
+# Differentiable (jnp) twins of the weight transforms, for the fast TRAIN
+# path (models/fast_train.py): the transforms run INSIDE the jitted step on
+# live parameters, so gradients flow back through them to the standard-layout
+# params (they are exact linear re-layouts — pure stack/concat of slices and
+# zeros). Layouts pinned equal to the numpy versions by tests/test_s2d.py.
+# ---------------------------------------------------------------------------
+
+def conv_s1_weights_to_s2d_jnp(w: jax.Array) -> jax.Array:
+    """jnp twin of :func:`conv_s1_weights_to_s2d` (same output layout)."""
+    k, k2, cin, cout = w.shape
+    assert k == k2 and k % 2 == 1
+    kp = k // 2 + 1
+    zeros = jnp.zeros((cin, cout), w.dtype)
+
+    def entry(up, vp, su, sv, di, dj):
+        u = 2 * up + su - di
+        v = 2 * vp + sv - dj
+        if 0 <= u < k and 0 <= v < k:
+            return w[u, v]
+        return zeros
+
+    rows = []
+    for up in range(kp):
+        cols = []
+        for vp in range(kp):
+            # (4cin, 4cout) block: ci-major rows of co-major columns
+            blk = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [
+                            entry(up, vp, su, sv, di, dj)
+                            for di in range(2)
+                            for dj in range(2)
+                        ],
+                        axis=1,
+                    )
+                    for su in range(2)
+                    for sv in range(2)
+                ],
+                axis=0,
+            )
+            cols.append(blk)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def conv_s2_weights_from_s2d_nopad_jnp(w: jax.Array) -> jax.Array:
+    """jnp twin of :func:`conv_s2_weights_from_s2d_nopad`."""
+    k, k2, cin, cout = w.shape
+    assert k == 3 and k2 == 3
+    taps = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    zeros = jnp.zeros((cin, cout), w.dtype)
+    rows = []
+    for up in range(2):
+        cols = []
+        for vp in range(2):
+            blk = jnp.concatenate(
+                [
+                    w[taps[(up, su)], taps[(vp, sv)]]
+                    if (up, su) in taps and (vp, sv) in taps
+                    else zeros
+                    for su in range(2)
+                    for sv in range(2)
+                ],
+                axis=0,
+            )
+            cols.append(blk)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def convT_s2_weights_to_s2d_jnp(w: jax.Array) -> jax.Array:
+    """jnp twin of :func:`convT_s2_weights_to_s2d` (``w`` is the effective
+    correlation kernel, i.e. flip(params) for our ConvTranspose)."""
+    k, k2, cin, cout = w.shape
+    assert k == 3 and k2 == 3
+    taps = {0: {0: 1}, 1: {0: 0, 1: 2}}  # di -> {u' -> fine tap}
+    zeros = jnp.zeros((cin, cout), w.dtype)
+    rows = []
+    for up in range(2):
+        cols = []
+        for vp in range(2):
+            blk = jnp.concatenate(
+                [
+                    w[taps[di][up], taps[dj][vp]]
+                    if (up in taps[di] and vp in taps[dj])
+                    else zeros
+                    for di in range(2)
+                    for dj in range(2)
+                ],
+                axis=1,
+            )
+            cols.append(blk)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def weights_tap_split_jnp(wp: jax.Array) -> jax.Array:
+    """jnp twin of :func:`weights_tap_split` (pure transpose+reshape)."""
+    kh, kw, cin, cout = wp.shape
+    return wp.transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
+
+
 def fold_w_taps(x: jax.Array, kw: int) -> jax.Array:
     """(B, H, W, C) -> (B, H, W-kw+1, kw*C): stack the kw width-shifted views
     along channels, so a (kh, kw) VALID conv becomes a (kh, 1) VALID conv with

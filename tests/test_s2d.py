@@ -218,3 +218,29 @@ def test_s2d_concat_interleave_matches_fine_concat(rng):
     np.testing.assert_array_equal(
         np.asarray(s2d_concat_interleave([one])), np.asarray(one)
     )
+
+
+def test_jnp_weight_transforms_match_numpy(rng):
+    """The differentiable (jnp) transform twins used by the fast TRAIN path
+    must produce byte-identical layouts to the numpy originals."""
+    from jpdse_tpu.ops import s2d
+
+    w7 = rng.normal(size=(7, 7, 5, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(s2d.conv_s1_weights_to_s2d_jnp(jnp.asarray(w7))),
+        s2d.conv_s1_weights_to_s2d(w7),
+    )
+    w3 = rng.normal(size=(3, 3, 4, 6)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(s2d.conv_s2_weights_from_s2d_nopad_jnp(jnp.asarray(w3))),
+        s2d.conv_s2_weights_from_s2d_nopad(w3),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2d.convT_s2_weights_to_s2d_jnp(jnp.asarray(w3))),
+        s2d.convT_s2_weights_to_s2d(w3),
+    )
+    wp = rng.normal(size=(4, 4, 8, 12)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(s2d.weights_tap_split_jnp(jnp.asarray(wp))),
+        s2d.weights_tap_split(wp),
+    )

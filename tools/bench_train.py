@@ -52,6 +52,9 @@ def main():
                          "(exact; divides fp32 VGG peak memory by B/N)")
     ap.add_argument("--vgg-bf16", action="store_true",
                     help="run the VGG trunk in bf16 (optim.vgg_bf16)")
+    ap.add_argument("--fast-train", action="store_true",
+                    help="train the generator through the s2d re-expression "
+                         "(optim.fast_train, models/fast_train.py)")
     args = ap.parse_args()
 
     import __graft_entry__ as ge
@@ -70,6 +73,7 @@ def main():
         cfg.loss.no_gan_feat_loss = True
     cfg.optim.remat = args.remat
     cfg.optim.vgg_chunk = args.vgg_chunk
+    cfg.optim.fast_train = args.fast_train
 
     codec = SemanticCodec(cfg)
     params_g = ge._init_params(cfg, codec)
@@ -130,6 +134,7 @@ def main():
                 "bf16_inputs": args.bf16_inputs,
                 "vgg_chunk": args.vgg_chunk,
                 "vgg_bf16": args.vgg_bf16,
+                "fast_train": args.fast_train,
             }
         )
     )
