@@ -139,19 +139,33 @@ def make_train_step(
         # train=True and discarding the stat mutation. (Known minor delta:
         # torch also advances D's running averages on these forwards; here
         # only the D-update passes below advance them.)
+        # pred_real exists only as feature-matching targets — skip the whole
+        # D(real) forward when the FM loss is off (e.g. the phase-B
+        # distortion-only recipes still running D for the GAN term)
+        need_real = not L.no_gan_feat_loss
         if mstate_d:
             pred_fake, _ = _disc_apply_train(
                 {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
             )
-            pred_real, _ = _disc_apply_train(
-                {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
+            pred_real = (
+                _disc_apply_train(
+                    {"params": params_d, **mstate_d},
+                    _d_concat(input_label, real), keep,
+                )[0]
+                if need_real
+                else pred_fake
             )
         else:
             pred_fake = _disc_apply(
                 {"params": params_d, **mstate_d}, _d_concat(input_label, fake), keep
             )
-            pred_real = _disc_apply(
-                {"params": params_d, **mstate_d}, _d_concat(input_label, real), keep
+            pred_real = (
+                _disc_apply(
+                    {"params": params_d, **mstate_d},
+                    _d_concat(input_label, real), keep,
+                )
+                if need_real
+                else pred_fake
             )
 
         zero = jnp.asarray(0.0, jnp.float32)
