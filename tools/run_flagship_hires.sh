@@ -44,19 +44,22 @@ CFG="--use_compressed --ext heif --quality ${QUALITY} \
   --no_label_encoding --no_feat_encoding --no_generator_binarization \
   --netG local --ngf 32 --n_local_enhancers 1 --n_blocks_local 3"
 
-# --device_cache 0: at 2048x1024 the train+val device caches cost 2.45GB of
-# the 16GB HBM and the batch-1 GAN step OOMs with them resident (measured;
-# the 1024 flagships keep them on). The host-side image/base-codec memos
-# (--cache_images) stay, so epochs don't re-pay the HEVC encodes; the relay
-# client's per-upload host leak is re-exposed and handled by the
-# --max_host_rss_gb watchdog + the runner's lossless restart loop.
+# DEVCACHE: round 4 ran with the device cache OFF — at 2048x1024 the f32
+# train+val caches cost 2.45GB of the 16GB HBM and the batch-1 GAN step
+# OOM'd with them resident — re-exposing the relay client's per-upload
+# host leak (handled by --max_host_rss_gb watchdog restarts, but paying
+# their churn). Round 5's COMPACT cache (uint8+LUT images, narrowed id
+# maps, data/device_cache.py — bit-identical) cuts the train cache ~4x
+# (~0.6GB), so the default is back ON; DEVCACHE=0 restores the round-4
+# behavior if the step still doesn't fit.
+DEVCACHE=${DEVCACHE:-1}
 COMMON="--dataset cityscapes --root_dir ${ROOT} --model pix2pixHD \
   --use_gt_semantics ${CFG} \
   --preprocess_mode fixed --load_size 2048 --crop_size 2048 \
   --val_preprocess_mode fixed --val_load_size 2048 --val_crop_size 2048 \
   --test_preprocess_mode fixed --test_load_size 2048 --test_crop_size 2048 \
   --batch_size ${BATCH} --num_workers 2 --seed 1234 --cache_images --remat \
-  --device_cache 0 \
+  --device_cache ${DEVCACHE} \
   --val_interval ${VAL_INT} --max_recon_dump 2 --max_host_rss_gb 100 --latest_interval 100 \
   --normalize_mean .5,.5,.5 --normalize_std 1.,1.,1."
 
