@@ -55,6 +55,41 @@ PAIRS = [
         "artifacts/flagship_r4_nosem_q20/eval_phaseB_xq23",
         0.1594,
     ),
+    # round-5 closers (VERDICT ask #5): architecture-symmetric B-side via
+    # the reference's own zero_sem static zeroing (every leaf warm-restored,
+    # no re-init asymmetry) at the q10 point's budget
+    (
+        "q10 point, zero_sem (symmetric arch)",
+        "artifacts/flagship_r3_compressed_q10/eval_phaseB",
+        0.1262,
+        "artifacts/r5_zerosem_q20/eval_phaseB",
+        0.1236,
+    ),
+    (
+        "q10 point, zero_sem, phase A",
+        "artifacts/flagship_r3_compressed_q10/eval_phaseA",
+        0.1262,
+        "artifacts/r5_zerosem_q20/eval_phaseA",
+        0.1236,
+    ),
+    # round-5 cheap-semantics arm (VERDICT ask #6): sem_downsample=2 @ q15
+    # (0.0964 base + 0.0274 sem = 0.1238 total) vs the same matched-rate
+    # rows — here the "A" side is the CHEAP-semantics arm, answering "do
+    # semantics pay at half price?"
+    (
+        "q10 point, sem/2 @q15 (cheap semantics)",
+        "artifacts/r5_semdown_f2_q15/eval_phaseB",
+        0.1238,
+        "artifacts/flagship_r4_nosem_q20/eval_phaseB",
+        0.1244,
+    ),
+    (
+        "q10 point, sem/2 @q15, phase A",
+        "artifacts/r5_semdown_f2_q15/eval_phaseA",
+        0.1238,
+        "artifacts/flagship_r4_nosem_q20/eval_phaseA",
+        0.1244,
+    ),
 ]
 
 
