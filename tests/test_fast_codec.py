@@ -454,3 +454,19 @@ def test_fast_config_validation():
     # when a pallas head is actually selected
     cfg.model.fast.head_pallas = "1"
     cfg.validate()
+
+
+def test_fast_decode_with_sem_downsample(rng):
+    """codec.sem_downsample (round-5 reduced-rate semantics): the fast path
+    must degrade the maps identically to the standard decode (both go
+    through prepare_inputs), and the s2d-e2e assembly must defer (it has no
+    degrade step)."""
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.codec.sem_downsample = 2
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    want, _ = codec.apply({"params": params}, inputs, method=SemanticCodec.decode)
+    fast = FastCodec(cfg, params, dtype=jnp.float32)
+    assert not fast.s2d_e2e
+    got = fast.decode(batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
