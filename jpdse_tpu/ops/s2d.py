@@ -336,6 +336,20 @@ def weights_tap_split_jnp(wp: jax.Array) -> jax.Array:
     return wp.transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout)
 
 
+def weights_tap_split_w_jnp(wp: jax.Array, group: int = 1) -> jax.Array:
+    """jnp twin of :func:`weights_tap_split_w` (stack/concat of slices)."""
+    kh, kw, cin, cout = wp.shape
+    assert kw % group == 0
+    ng = kw // group
+    return jnp.stack(
+        [
+            jnp.concatenate([wp[:, g * group + s] for g in range(ng)], axis=-1)
+            for s in range(group)
+        ],
+        axis=1,
+    )
+
+
 def fold_w_taps(x: jax.Array, kw: int) -> jax.Array:
     """(B, H, W, C) -> (B, H, W-kw+1, kw*C): stack the kw width-shifted views
     along channels, so a (kh, kw) VALID conv becomes a (kh, 1) VALID conv with

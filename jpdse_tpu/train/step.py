@@ -87,15 +87,15 @@ def make_train_step(
     if cfg.optim.fast_train:
         # space-to-depth train decode (models/fast_train.py): raises with
         # the failed gate for ineligible configs. Eligible configs have no
-        # mutable G state and no decode-path rngs, so the signature
-        # degenerates to (params, inputs).
+        # mutable G state; binarizer rngs fold from the step rng (same
+        # distribution as the flax per-module streams, different draws).
         from jpdse_tpu.models.fast_train import make_fast_train_decode
 
         _fast_decode = make_fast_train_decode(cfg, codec)
 
         def _decode(params_g, mstate_g, inputs, rng):  # noqa: F811
-            del mstate_g, rng
-            return _fast_decode(params_g, inputs)
+            del mstate_g
+            return _fast_decode(params_g, inputs, rng, deterministic=False)
 
     def _disc_apply(params_d_and_mstate, x, keep):
         return disc.apply(params_d_and_mstate, x, keep)

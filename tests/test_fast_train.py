@@ -178,3 +178,71 @@ def test_ineligible_configs_refused():
     assert "local" in fast_train_ineligible_reason(cfg).lower()
     with pytest.raises(ValueError, match="fast_train unavailable"):
         make_fast_train_decode(cfg, SemanticCodec(cfg))
+
+
+def test_learned_codec_forward_and_grads(rng):
+    """The LEARNED flagship config (binarized netE + netE4label feeding G —
+    the benchmarked train configuration): deterministic-binarization
+    forward equality and generator-gradient equality through the fast
+    decode. (Stochastic binarization draws a different — identically
+    distributed — noise stream than flax's per-module rng fold, so only
+    the deterministic path is compared bitwise.)"""
+    from tests.test_codec_model import init_codec, tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.model.compute_dtype = "float32"
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    fast = make_fast_train_decode(cfg, codec)
+
+    fake_fast, label_fast = fast(params, inputs, None, deterministic=True)
+    fake_std, label_std = codec.apply(
+        {"params": params}, inputs, method=SemanticCodec.decode
+    )
+    np.testing.assert_allclose(
+        np.asarray(fake_fast), np.asarray(fake_std), atol=5e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(label_fast), np.asarray(label_std), atol=5e-5, rtol=1e-4
+    )
+
+    probe = jnp.asarray(
+        np.random.default_rng(7).normal(size=fake_std.shape).astype(np.float32)
+    )
+
+    def loss_fast(p):
+        fake, _ = fast(p, inputs, None, deterministic=True)
+        return jnp.sum(fake * probe)
+
+    def loss_std(p):
+        fake, _ = codec.apply(
+            {"params": p}, inputs, method=SemanticCodec.decode
+        )
+        return jnp.sum(fake * probe)
+
+    g_fast = jax.grad(loss_fast)(params)
+    g_std = jax.grad(loss_std)(params)
+    flat_fast = jax.tree.leaves(g_fast)
+    flat_std = jax.tree.leaves(g_std)
+    global_scale = max(np.abs(np.asarray(b)).max() for b in flat_std)
+    for a, b in zip(flat_fast, flat_std):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=3e-4 * global_scale, rtol=1e-3,
+        )
+
+
+def test_learned_codec_stochastic_path_runs(rng):
+    """Stochastic binarization (train mode) through the fast decode: runs,
+    produces +-1 codes downstream, and differs across keys."""
+    from tests.test_codec_model import init_codec, tiny_batch, tiny_cfg
+
+    cfg = tiny_cfg(no_generator_binarization=True)
+    cfg.model.compute_dtype = "float32"
+    batch = tiny_batch(rng)
+    codec, params, inputs = init_codec(cfg, batch)
+    fast = make_fast_train_decode(cfg, codec)
+    f1, _ = fast(params, inputs, jax.random.PRNGKey(0), deterministic=False)
+    f2, _ = fast(params, inputs, jax.random.PRNGKey(1), deterministic=False)
+    assert np.isfinite(np.asarray(f1)).all()
+    assert not np.array_equal(np.asarray(f1), np.asarray(f2))

@@ -244,3 +244,14 @@ def test_jnp_weight_transforms_match_numpy(rng):
         np.asarray(s2d.weights_tap_split_jnp(jnp.asarray(wp))),
         s2d.weights_tap_split(wp),
     )
+
+
+def test_weights_tap_split_w_jnp_matches_numpy(rng):
+    from jpdse_tpu.ops import s2d
+
+    wp = rng.normal(size=(4, 4, 8, 28)).astype(np.float32)
+    for group in (1, 2, 4):
+        np.testing.assert_array_equal(
+            np.asarray(s2d.weights_tap_split_w_jnp(jnp.asarray(wp), group)),
+            s2d.weights_tap_split_w(wp, group),
+        )
