@@ -16,13 +16,14 @@ run () {
     | tee artifacts/r5_probes/${name}.log | tail -3
 }
 
-# fast-train matrix at the ledger's configuration (batch 2, block remat)
+# fast-train matrix at the ledger's configuration (batch 2, block remat).
+# Trimmed to the two decisive probes — tonight's relay compiles run
+# 25-35 min each, and the ablation arms still need chip time (the b4 and
+# vgg_bf16-solo variants are follow-ups, not decision-makers).
 run train_fast          python tools/bench_train.py --batch 2 --remat --fast-train
 run train_fast_vggbf16  python tools/bench_train.py --batch 2 --remat --fast-train --vgg-bf16
-run train_fast_b4       python tools/bench_train.py --batch 4 --remat --fast-train
-run train_vggbf16       python tools/bench_train.py --batch 2 --remat --vgg-bf16
 
-grep -h '"metric"' artifacts/r5_probes/train_fast*.log artifacts/r5_probes/train_vggbf16.log 2>/dev/null || true
+grep -h '"metric"' artifacts/r5_probes/train_fast*.log 2>/dev/null || true
 
 # ablation closers, by evidential priority (each resumes losslessly)
 QUALITY=23 bash tools/run_flagship_nosem.sh 2>&1 | tee artifacts/r5_probes/nosem_q23.log | tail -10
